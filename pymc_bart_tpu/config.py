@@ -1,0 +1,107 @@
+"""Frozen configuration pytrees for the TPU-native BART engine.
+
+The reference carries user configuration as kwargs on ``BART(...)``
+(reference ``pymc_bart/bart.py:112-124``: m, alpha, beta, response,
+split_rules, split_prior, shape) and sampler configuration as kwargs on
+``PGBART(...)`` (reference ``tests/test_bart.py:232``: num_particles;
+batch fractions), shipped to the native sampler via ``PyBartSettings``
+(reference ``pymc_bart/pymc_bart.py:2``).  Here both levels are frozen
+dataclasses so they can ride through ``jax.jit`` as static arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+# Split-rule codes (per covariate column).  Mirrors the reference rule set
+# ContinuousSplitRule / OneHotSplitRule / SubsetSplitRule
+# (reference docs/api_reference.rst:16; string selection in
+# tests/test_bart.py:140-155).
+RULE_CONTINUOUS = 0
+RULE_ONEHOT = 1
+RULE_SUBSET = 2
+
+_RULE_NAMES = {
+    "ContinuousSplit": RULE_CONTINUOUS,
+    "ContinuousSplitRule": RULE_CONTINUOUS,
+    "OneHotSplit": RULE_ONEHOT,
+    "OneHotSplitRule": RULE_ONEHOT,
+    "SubsetSplit": RULE_SUBSET,
+    "SubsetSplitRule": RULE_SUBSET,
+}
+
+
+def rule_code(name_or_code) -> int:
+    """Map a reference-style split-rule name (or code) to an int code."""
+    if isinstance(name_or_code, int):
+        if name_or_code not in (RULE_CONTINUOUS, RULE_ONEHOT, RULE_SUBSET):
+            raise ValueError(f"unknown split rule code {name_or_code}")
+        return name_or_code
+    try:
+        return _RULE_NAMES[str(name_or_code)]
+    except KeyError:
+        raise ValueError(
+            f"unknown split rule {name_or_code!r}; valid: {sorted(_RULE_NAMES)}"
+        ) from None
+
+
+@dataclasses.dataclass(frozen=True)
+class BartConfig:
+    """Static (hashable) configuration of one BART random variable.
+
+    Matches the user surface of reference ``pymc_bart/bart.py:112-124``.
+    ``max_depth`` is new: the TPU engine uses fixed-depth structure-of-arrays
+    tree tensors, so tree depth is bounded at ``max_depth`` (the depth prior
+    alpha*(1+d)^-beta makes deep nodes exponentially unlikely; with the
+    default alpha=0.95, beta=2 the grow probability at depth 6 is ~2%).
+    """
+
+    m: int = 50
+    alpha: float = 0.95
+    beta: float = 2.0
+    response: str = "constant"  # "constant" | "linear" | "mix"
+    max_depth: int = 6
+    n_outputs: int = 1
+    # split rules, one code per column; None means all-continuous.
+    split_rules: Optional[Tuple[int, ...]] = None
+
+    @property
+    def n_nodes(self) -> int:
+        """Number of node slots in the complete binary tree of depth max_depth."""
+        return 2 ** (self.max_depth + 1) - 1
+
+    def __post_init__(self):
+        if self.response not in ("constant", "linear", "mix"):
+            raise ValueError(f"response must be constant|linear|mix, got {self.response}")
+        if not 0.0 < self.alpha < 1.0:
+            raise ValueError("alpha must be in (0, 1)")
+        if self.beta < 0:
+            raise ValueError("beta must be positive")
+        if self.max_depth < 1 or self.max_depth > 12:
+            raise ValueError("max_depth must be in [1, 12]")
+
+
+@dataclasses.dataclass(frozen=True)
+class PgbartConfig:
+    """Static configuration of the particle-Gibbs tree sampler.
+
+    Mirrors the reference PGBART knobs: ``num_particles`` and the
+    ``batch=(tune_fraction, draw_fraction)`` pair giving the fraction of the
+    m trees updated per MCMC step during tuning and draws (reference
+    ``tests/test_bart.py:232-233`` and SURVEY 2.3).
+    """
+
+    num_particles: int = 10
+    batch: Tuple[float, float] = (0.1, 0.1)
+
+    def __post_init__(self):
+        if self.num_particles < 2:
+            raise ValueError("num_particles must be >= 2")
+        for frac in self.batch:
+            if not 0.0 < frac <= 1.0:
+                raise ValueError("batch fractions must be in (0, 1]")
+
+    def batch_size(self, m: int, tuning: bool) -> int:
+        frac = self.batch[0] if tuning else self.batch[1]
+        return max(1, int(round(m * frac)))
