@@ -1,0 +1,377 @@
+"""PGBART: particle-Gibbs BART sampler as fixed-shape JAX kernels.
+
+TPU-native redesign of the reference's native PGBART step method
+(reference SURVEY 2.3; algorithm per Lakshminarayanan et al.,
+arXiv:1502.04622, and the reference's behavioral history in CHANGELOG.md):
+
+* The per-tree conditional SMC runs **depth-synchronously**: at round d,
+  every expandable depth-d leaf of every non-frozen particle draws a grow
+  decision with probability alpha*(1+d)^-beta (reference bart.py:104-106),
+  a split variable from the adaptive categorical over columns, a split
+  value from the observed values of rows in the leaf, and children leaf
+  values from Normal(node residual mean / m, leaf_sd) — all as vmapped
+  fixed-shape array ops.  The reference grows one popped leaf per SMC
+  iteration; depth-synchronous growth is an equivalent-proposal schedule
+  that maps 1:1 onto fixed-depth tree tensors and removes all
+  data-dependent control flow.
+* The frozen reference particle (particle 0) replays its stored tree one
+  level per round: because leaf values of internal nodes are retained
+  (see ops/trees.py), its depth-truncated predictions — and hence its
+  incremental SMC weights — are exact.
+* Systematic resampling of the non-frozen particles with post-resampling
+  reset to the log-mean weight (reference CHANGELOG.md:400-402), gated on
+  effective sample size; final tree selected from all particles by
+  normalized weights.
+* Per-step Gibbs over a rotating batch of trees (reference PGBART
+  ``batch`` fractions), with split-prior adaptation and running
+  leaf-variance tracking during tuning (reference CHANGELOG.md:380).
+
+Everything here is per chain; chains are vmapped/sharded by the caller.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..config import BartConfig, PgbartConfig
+from ..ops.trees import Forest, decide_left, init_forest
+from ..ops.predict import tree_predict
+from ..ops.resample import (
+    effective_sample_size,
+    normalize_log_weights,
+    systematic_indices,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PgbartState:
+    """Carried sampler state for one BART variable (one chain)."""
+
+    forest: Forest          # (m, S) arrays; leaf (m, S, k)
+    tree_pred: jax.Array    # float32[m, n, k] cached per-tree predictions
+    sum_trees: jax.Array    # float32[n, k]
+    alpha_vec: jax.Array    # float32[p] adaptive split-variable weights
+    leaf_sd: jax.Array      # float32[k] leaf-value proposal scale
+    # Welford accumulator over per-tree predictions, for leaf_sd adaptation
+    wf_count: jax.Array     # float32[]
+    wf_mean: jax.Array      # float32[n, k]
+    wf_m2: jax.Array        # float32[n, k]
+    batch_offset: jax.Array  # int32[] rotating tree pointer
+    iteration: jax.Array    # int32[] Gibbs iterations done (for adaptation gate)
+
+
+def init_state(X, Y_target, cfg: BartConfig, split_prior=None) -> PgbartState:
+    """Initial all-root-leaf state.
+
+    Each tree starts as a single leaf predicting mean(Y)/m so the initial
+    sum of trees equals Y.mean() (reference bart.py:146 initval and
+    SURVEY 2.3 step 1).  leaf_sd starts at std(Y)/sqrt(m).
+    """
+    n, _p = X.shape
+    k = cfg.n_outputs
+    Y_target = jnp.asarray(Y_target, jnp.float32).reshape(n, k)
+    y_mean = Y_target.mean(axis=0)  # (k,)
+    forest = init_forest(cfg.m, cfg.n_nodes, k, y_mean / cfg.m, n)
+    tree_pred = jnp.broadcast_to((y_mean / cfg.m)[None, None, :], (cfg.m, n, k)).astype(
+        jnp.float32
+    )
+    if split_prior is None or split_prior.size == 0:
+        alpha_vec = jnp.ones((X.shape[1],), jnp.float32)
+    else:
+        alpha_vec = jnp.asarray(split_prior, jnp.float32)
+    leaf_sd = Y_target.std(axis=0) / jnp.sqrt(float(cfg.m))
+    leaf_sd = jnp.maximum(leaf_sd, 1e-6)
+    return PgbartState(
+        forest=forest,
+        tree_pred=tree_pred,
+        sum_trees=jnp.broadcast_to(y_mean[None, :], (n, k)).astype(jnp.float32),
+        alpha_vec=alpha_vec,
+        leaf_sd=leaf_sd,
+        wf_count=jnp.zeros((), jnp.float32),
+        wf_mean=jnp.zeros((n, k), jnp.float32),
+        wf_m2=jnp.zeros((n, k), jnp.float32),
+        batch_offset=jnp.zeros((), jnp.int32),
+        iteration=jnp.zeros((), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Particle growth round
+# ---------------------------------------------------------------------------
+
+
+def _child_stats(leaf_idx, resid, lo: int, width: int):
+    """Counts and residual sums for node slots [lo, lo+width)."""
+    slots = lo + jnp.arange(width, dtype=jnp.int32)
+    onehot = (leaf_idx[:, None] == slots[None, :]).astype(jnp.float32)
+    counts = onehot.sum(axis=0)
+    sums = jnp.einsum("nw,nk->wk", onehot, resid, preferred_element_type=jnp.float32)
+    return counts, sums
+
+
+def _grow_round(key, frozen, sv, sl, st, lf, ct, leaf_idx, d: int, X, rules,
+                log_alpha, leaf_sd, resid, cfg: BartConfig):
+    """One depth-synchronous growth round for a single particle.
+
+    frozen: bool[] — if True, replay the stored tree one level instead of
+    growing (the conditional-SMC reference particle).
+    Returns updated (sv, sl, st, lf, ct, leaf_idx).
+    """
+    n, p = X.shape
+    lo, hi = 2**d - 1, 2 ** (d + 1) - 1
+    G = hi - lo
+    slots = lo + jnp.arange(G, dtype=jnp.int32)
+    k_grow, k_var, k_row, k_set, k_leaf = jax.random.split(key, 5)
+
+    node_sv = sv[lo:hi]
+    is_leaf = node_sv < 0
+    alive = ct[lo:hi] >= 2.0
+    p_grow = cfg.alpha * (1.0 + d) ** (-cfg.beta)
+    want_grow = (
+        (jax.random.uniform(k_grow, (G,)) < p_grow) & is_leaf & alive & (~frozen)
+    )
+
+    # split variable ~ categorical(alpha_vec) via Gumbel-max
+    gum = jax.random.gumbel(k_var, (G, p))
+    var_s = jnp.argmax(log_alpha[None, :] + gum, axis=1).astype(jnp.int32)
+
+    # split value: a uniformly random row among rows in the node.  Rows
+    # partition across nodes, so one Gumbel per row serves every node.
+    row_gum = jax.random.gumbel(k_row, (n,))
+    in_node = leaf_idx[:, None] == slots[None, :]
+    scores = jnp.where(in_node, row_gum[:, None], -jnp.inf)
+    row_sel = jnp.argmax(scores, axis=0).astype(jnp.int32)
+    val_s = X[row_sel, var_s]
+    # subset-rule bitmask: random categories, always including the
+    # selected row's own category so the left child is non-empty.
+    rand_mask = jax.random.bits(k_set, (G,), dtype=jnp.uint32)
+    own_cat = jnp.clip(jnp.nan_to_num(val_s, nan=0.0).astype(jnp.int32), 0, 31)
+    st_s = rand_mask | (jnp.uint32(1) << own_cat.astype(jnp.uint32))
+
+    # effective split parameters for routing
+    varx = jnp.where(frozen, node_sv, var_s)
+    varx_c = jnp.clip(varx, 0, p - 1)
+    valx = jnp.where(frozen, sl[lo:hi], val_s)
+    setx = jnp.where(frozen, st[lo:hi], st_s)
+    active = jnp.where(frozen, node_sv >= 0, want_grow)
+
+    # tentative routing of rows through this level
+    in_level = (leaf_idx >= lo) & (leaf_idx < hi)
+    g = jnp.clip(leaf_idx - lo, 0, G - 1)
+    row_active = in_level & active[g]
+    col = varx_c[g]
+    xv = jnp.take_along_axis(X, col[:, None], axis=1)[:, 0]
+    left = decide_left(xv, valx[g], setx[g], rules[col])
+    child = 2 * leaf_idx + 1 + (1 - left.astype(jnp.int32))
+    tentative = jnp.where(row_active, child, leaf_idx)
+
+    # child sufficient statistics; growth is reverted if a child is empty
+    # (reference semantics: a proposed split with an empty child fails)
+    ccounts, csums = _child_stats(tentative, resid, hi, 2 * G)
+    cl, cr = ccounts[0::2], ccounts[1::2]
+    valid = (cl > 0) & (cr > 0)
+    grow_ok = want_grow & valid
+    active_final = jnp.where(frozen, node_sv >= 0, grow_ok)
+    leaf_idx_new = jnp.where(in_level & active_final[g], child, leaf_idx)
+
+    # commit structure for grown nodes (frozen commits nothing)
+    sv = sv.at[lo:hi].set(jnp.where(grow_ok, var_s, node_sv))
+    sl = sl.at[lo:hi].set(jnp.where(grow_ok, val_s, sl[lo:hi]))
+    st = st.at[lo:hi].set(jnp.where(grow_ok, st_s, st[lo:hi]))
+
+    # children: counts and leaf values ~ N(child residual mean / m, leaf_sd)
+    eps = jax.random.normal(k_leaf, (2 * G, cfg.n_outputs))
+    mu = csums / jnp.maximum(ccounts, 1.0)[:, None] / cfg.m + eps * leaf_sd[None, :]
+    parent_ok = jnp.repeat(grow_ok, 2)
+    ct = ct.at[hi : hi + 2 * G].set(jnp.where(parent_ok, ccounts, ct[hi : hi + 2 * G]))
+    lf = lf.at[hi : hi + 2 * G].set(
+        jnp.where(parent_ok[:, None], mu, lf[hi : hi + 2 * G])
+    )
+    return sv, sl, st, lf, ct, leaf_idx_new
+
+
+# ---------------------------------------------------------------------------
+# Conditional SMC for one tree
+# ---------------------------------------------------------------------------
+
+
+def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
+                     X, rules, cfg: BartConfig, pg: PgbartConfig,
+                     loglik_fn: Callable, lik_params):
+    """Run the conditional SMC for a single tree; return (new tree, pred)."""
+    P = pg.num_particles
+    S = cfg.n_nodes
+    n, _ = X.shape
+    k = cfg.n_outputs
+    D = cfg.max_depth
+    k_init, key = jax.random.split(key)
+
+    # particle 0 = frozen copy of the current tree; others = root leaves
+    def broadcast0(old, fresh):
+        return jnp.concatenate([old[None], jnp.broadcast_to(fresh, (P - 1,) + fresh.shape)], 0)
+
+    root_mu = resid.mean(axis=0) / cfg.m  # (k,)
+    sv = broadcast0(tree.split_var, jnp.full((S,), -1, jnp.int32))
+    sl = broadcast0(tree.split_val, jnp.zeros((S,), jnp.float32))
+    st = broadcast0(tree.split_set, jnp.zeros((S,), jnp.uint32))
+    fresh_lf = jnp.zeros((S, k), jnp.float32).at[0, :].set(root_mu)
+    lf = broadcast0(tree.leaf, fresh_lf)
+    fresh_ct = jnp.zeros((S,), jnp.float32).at[0].set(float(n))
+    ct = broadcast0(tree.count, fresh_ct)
+    leaf_idx = jnp.zeros((P, n), jnp.int32)
+    frozen = jnp.arange(P) == 0
+
+    log_alpha = jnp.log(jnp.maximum(alpha_vec, 1e-12))
+    log_alpha = log_alpha - jax.scipy.special.logsumexp(log_alpha)
+
+    def particle_pred(lf_p, li_p):
+        return lf_p[li_p]  # (n, k)
+
+    pred = jax.vmap(particle_pred)(lf, leaf_idx)
+    ll = jax.vmap(lambda f: loglik_fn(sum_noi + f, lik_params))(pred)
+    log_w = ll
+    ll_prev = ll
+
+    for d in range(D):
+        key, k_round, k_res = jax.random.split(key, 3)
+        pkeys = jax.random.split(k_round, P)
+        sv, sl, st, lf, ct, leaf_idx = jax.vmap(
+            lambda pk, fz, a, b, c, e, f_, g: _grow_round(
+                pk, fz, a, b, c, e, f_, g, d, X, rules, log_alpha, leaf_sd, resid, cfg
+            )
+        )(pkeys, frozen, sv, sl, st, lf, ct, leaf_idx)
+        pred = jax.vmap(particle_pred)(lf, leaf_idx)
+        ll = jax.vmap(lambda f: loglik_fn(sum_noi + f, lik_params))(pred)
+        log_w = log_w + ll - ll_prev
+        ll_prev = ll
+
+        if d < D - 1:  # no resampling after the final round (selection follows)
+            probs, log_mean = normalize_log_weights(log_w[1:])
+            do_resample = effective_sample_size(probs) < 0.5 * (P - 1)
+            idx = systematic_indices(k_res, probs, P - 1) + 1
+            idx = jnp.where(do_resample, idx, jnp.arange(1, P, dtype=jnp.int32))
+            take = jnp.concatenate([jnp.zeros((1,), jnp.int32), idx])
+            sv, sl, st, lf, ct, leaf_idx, pred = (
+                a[take] for a in (sv, sl, st, lf, ct, leaf_idx, pred)
+            )
+            ll_prev = ll_prev[take]
+            reset = jnp.concatenate([log_w[:1], jnp.full((P - 1,), log_mean)])
+            log_w = jnp.where(do_resample, reset, log_w)
+
+    key, k_sel = jax.random.split(key)
+    widx = jax.random.categorical(k_sel, log_w)
+    new_tree = Forest(sv[widx], sl[widx], st[widx], lf[widx], ct[widx])
+    return new_tree, pred[widx]
+
+
+# ---------------------------------------------------------------------------
+# Full PGBART Gibbs step over a batch of trees
+# ---------------------------------------------------------------------------
+
+
+def split_var_counts(forest: Forest, p: int):
+    """Histogram of splitting variables over all internal nodes: float32[p].
+
+    This is the per-draw ``variable_inclusion`` statistic (reference
+    utils.py:750-762; emitted per draw by the native sampler)."""
+    sv = forest.split_var.reshape(-1)
+    onehot = (sv[:, None] == jnp.arange(p, dtype=jnp.int32)[None, :])
+    return onehot.astype(jnp.float32).sum(axis=0)
+
+
+@partial(jax.jit, static_argnames=("cfg", "pg", "loglik_fn", "tuning"))
+def pgbart_step(key, state: PgbartState, X, Y_target, rules,
+                cfg: BartConfig, pg: PgbartConfig, loglik_fn: Callable,
+                lik_params, tuning: bool):
+    """One PGBART MCMC step (one chain): update a rotating batch of trees.
+
+    ``loglik_fn(f, lik_params) -> scalar`` is the model log-likelihood of a
+    candidate sum-of-trees value ``f`` (n, k); it must be a stable (cached)
+    function so the jit cache is reused — per-step traced quantities (e.g.
+    the current sigma draw) ride in ``lik_params``.
+
+    Returns (new_state, variable_inclusion_counts float32[p]).
+    """
+    m = cfg.m
+    B = pg.batch_size(m, tuning)
+    n, p = X.shape
+    Y_target = Y_target.reshape(n, cfg.n_outputs)
+
+    def body(i, carry):
+        (forest, tree_pred, sum_trees, alpha_vec, leaf_sd,
+         wf_count, wf_mean, wf_m2, iteration, key) = carry
+        key, k_tree = jax.random.split(key)
+        jt = (state.batch_offset + i) % m
+        tree = jax.tree.map(lambda a: a[jt], forest)
+        sum_noi = sum_trees - tree_pred[jt]
+        resid = Y_target - sum_noi
+        new_tree, pred = _update_one_tree(
+            k_tree, tree, sum_noi, resid, alpha_vec, leaf_sd,
+            X, rules, cfg, pg, loglik_fn, lik_params,
+        )
+        forest = Forest(
+            forest.split_var.at[jt].set(new_tree.split_var),
+            forest.split_val.at[jt].set(new_tree.split_val),
+            forest.split_set.at[jt].set(new_tree.split_set),
+            forest.leaf.at[jt].set(new_tree.leaf),
+            forest.count.at[jt].set(new_tree.count),
+        )
+        tree_pred = tree_pred.at[jt].set(pred)
+        sum_trees = sum_noi + pred
+        iteration = iteration + 1
+
+        if tuning:
+            # split-prior adaptation: count this tree's split variables
+            # (reference: alpha_vec[tree.get_split_variables()] += 1)
+            tsv = new_tree.split_var
+            tcounts = (
+                (tsv[:, None] == jnp.arange(p, dtype=jnp.int32)[None, :])
+                .astype(jnp.float32).sum(axis=0)
+            )
+            alpha_vec = alpha_vec + tcounts
+            # running leaf variance -> leaf_sd (reference CHANGELOG.md:380)
+            wf_count = wf_count + 1.0
+            delta = pred - wf_mean
+            wf_mean = wf_mean + delta / wf_count
+            wf_m2 = wf_m2 + delta * (pred - wf_mean)
+            sd = jnp.sqrt(jnp.maximum(wf_m2 / jnp.maximum(wf_count, 1.0), 1e-12)).mean(axis=0)
+            leaf_sd = jnp.where(iteration > m, jnp.maximum(sd, 1e-6), leaf_sd)
+
+        return (forest, tree_pred, sum_trees, alpha_vec, leaf_sd,
+                wf_count, wf_mean, wf_m2, iteration, key)
+
+    carry = (state.forest, state.tree_pred, state.sum_trees, state.alpha_vec,
+             state.leaf_sd, state.wf_count, state.wf_mean, state.wf_m2,
+             state.iteration, key)
+    (forest, tree_pred, sum_trees, alpha_vec, leaf_sd,
+     wf_count, wf_mean, wf_m2, iteration, _key) = jax.lax.fori_loop(
+        0, B, body, carry
+    )
+
+    new_state = PgbartState(
+        forest=forest, tree_pred=tree_pred, sum_trees=sum_trees,
+        alpha_vec=alpha_vec, leaf_sd=leaf_sd,
+        wf_count=wf_count, wf_mean=wf_mean, wf_m2=wf_m2,
+        batch_offset=(state.batch_offset + B) % m,
+        iteration=iteration,
+    )
+    vi = split_var_counts(forest, p)
+    return new_state, vi
+
+
+def refresh_tree_pred(state: PgbartState, X, rules, cfg: BartConfig) -> PgbartState:
+    """Recompute the per-tree prediction cache from the forest (e.g. after
+    restoring a checkpoint)."""
+    per_tree = jax.vmap(
+        lambda sv, sl, ss, lfv: tree_predict(sv, sl, ss, lfv, X, rules, cfg.max_depth)
+    )(state.forest.split_var, state.forest.split_val, state.forest.split_set,
+      state.forest.leaf)
+    return dataclasses.replace(
+        state, tree_pred=per_tree, sum_trees=per_tree.sum(axis=0)
+    )
