@@ -1,0 +1,66 @@
+"""pymc_bart_tpu — a TPU-native Bayesian Additive Regression Trees engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+pymc-devs/pymc-bart (reference mounted read-only; see SURVEY.md):
+the BART sum-of-trees random variable, the PGBART particle-Gibbs sampler
+over fixed-depth SoA tree tensors, an HMC compound step for non-BART free
+RVs, and the interpretability/variable-selection toolkit — all inside one
+jitted, mesh-shardable program.
+
+Public surface mirrors reference ``pymc_bart/__init__.py:24-47`` plus the
+slice of PyMC the reference depends on (Model, distributions, sample).
+"""
+
+from .config import BartConfig, PgbartConfig
+from .models import (
+    BART,
+    BARTRV,
+    Bernoulli,
+    Categorical,
+    Data,
+    Deterministic,
+    Exponential,
+    Gamma,
+    HalfNormal,
+    InferenceData,
+    LogNormal,
+    Model,
+    NegativeBinomial,
+    Normal,
+    Poisson,
+    StudentT,
+    Uniform,
+    math,
+    preprocess_xy,
+    set_data,
+)
+from .sampler import PGBART, sample
+
+__all__ = [
+    "BART",
+    "BARTRV",
+    "BartConfig",
+    "Bernoulli",
+    "Categorical",
+    "Data",
+    "Deterministic",
+    "Exponential",
+    "Gamma",
+    "HalfNormal",
+    "InferenceData",
+    "LogNormal",
+    "Model",
+    "NegativeBinomial",
+    "Normal",
+    "PGBART",
+    "PgbartConfig",
+    "Poisson",
+    "StudentT",
+    "Uniform",
+    "math",
+    "preprocess_xy",
+    "sample",
+    "set_data",
+]
+
+__version__ = "0.1.0"

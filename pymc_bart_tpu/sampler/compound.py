@@ -1,0 +1,358 @@
+"""Model compilation and the compound PGBART + HMC sampling loop.
+
+This is the TPU-native replacement for the slice of PyMC the reference
+rides on (SURVEY 3.2): automatic step assignment (BART RVs -> PGBART,
+continuous free RVs -> HMC/NUTS), the per-draw compound step, chain
+management, and draw storage.  Chains are not processes — they are a
+vmapped leading axis of one jitted program, shardable over a device mesh
+(SURVEY 2.4 chain parallelism).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PgbartConfig
+from ..models.expr import evaluate
+from ..models.inference_data import DataArray, Dataset, InferenceData
+from ..models.model import BARTRV, Model
+from ..utils.posterior import PosteriorForests
+from . import hmc, pgbart
+
+
+class CompiledModel:
+    """Flattens a Model into jit-ready log-density pieces."""
+
+    def __init__(self, model: Model):
+        self.model = model
+        self.bart_rvs: List[BARTRV] = list(model.bart_rvs)
+        self.free_params = list(model.free_rvs)
+        # continuous parameter packing
+        sizes = [int(np.prod(rv.shape)) if rv.shape else 1 for rv in self.free_params]
+        self.param_sizes = sizes
+        self.theta_size = int(sum(sizes))
+        self.data_env = {
+            name: jnp.asarray(d.get_value(), jnp.float32)
+            for name, d in model.data_vars.items()
+        }
+
+    # -- environment construction ------------------------------------------
+    def bart_external(self, name: str, f):
+        """internal (n, k) -> user-facing orientation ((n,) or (k, n))."""
+        brv = next(b for b in self.bart_rvs if b.name == name)
+        if len(brv.shape) == 1:
+            return f[:, 0]
+        return f.T
+
+    def unpack_theta(self, theta):
+        """unconstrained vector -> (env dict of constrained values, log|J|)."""
+        env = {}
+        log_jac = jnp.zeros(())
+        off = 0
+        for rv, size in zip(self.free_params, self.param_sizes):
+            u = theta[off : off + size]
+            u = u.reshape(rv.shape) if rv.shape else u[0]
+            x = rv.dist.transform.forward(u)
+            log_jac = log_jac + jnp.sum(rv.dist.transform.log_jac(u))
+            env[rv.name] = x
+            off += size
+        return env, log_jac
+
+    def build_env(self, theta, bart_internal: Dict[str, Any]):
+        env = dict(self.data_env)
+        for name, f in bart_internal.items():
+            env[name] = self.bart_external(name, f)
+        param_env, log_jac = self.unpack_theta(theta)
+        env.update(param_env)
+        for det in self.model.deterministics:
+            env[det.name] = evaluate(det.expr, env)
+        return env, log_jac
+
+    def observed_logp(self, env):
+        lp = jnp.zeros(())
+        for orv in self.model.observed_rvs:
+            params = tuple(evaluate(p, env) for p in orv.params)
+            value = jnp.asarray(orv.observed, jnp.float32)
+            lp = lp + jnp.sum(orv.dist.logp(value, *params))
+        return lp
+
+    def prior_logp(self, env):
+        lp = jnp.zeros(())
+        for rv in self.free_params:
+            params = tuple(evaluate(p, env) for p in rv.params)
+            lp = lp + jnp.sum(rv.dist.logp(env[rv.name], *params))
+        return lp
+
+    def logdensity(self, theta, bart_internal):
+        env, log_jac = self.build_env(theta, bart_internal)
+        return self.prior_logp(env) + self.observed_logp(env) + log_jac
+
+    # -- initial values -----------------------------------------------------
+    def initial_theta(self) -> np.ndarray:
+        """Support-point initialization in unconstrained space
+        (reference support_point semantics, bart.py:219-221 analog for
+        continuous RVs)."""
+        if self.theta_size == 0:
+            return np.zeros((0,), np.float32)
+        env: Dict[str, Any] = {k: np.asarray(v) for k, v in self.data_env.items()}
+        for brv in self.bart_rvs:
+            y_mean = float(np.mean(brv.Y))
+            if len(brv.shape) == 1:
+                env[brv.name] = np.full(brv.shape, y_mean, np.float32)
+            else:
+                env[brv.name] = np.full(brv.shape, y_mean, np.float32)
+        pieces = []
+        for rv in self.free_params:
+            try:
+                params = tuple(np.asarray(evaluate(p, env)) for p in rv.params)
+                sp = np.asarray(rv.dist.support_point(rv.shape or (), *params))
+            except Exception:
+                sp = np.full(rv.shape or (), 1.0)
+            env[rv.name] = sp
+            u = np.asarray(rv.dist.transform.inverse(jnp.asarray(sp, jnp.float32)))
+            pieces.append(np.ravel(u) if u.ndim else u[None])
+        return np.concatenate(pieces).astype(np.float32)
+
+
+class PGBART:
+    """Manual step-method handle: ``PGBART([mu], num_particles=5)`` passed
+    via ``sample(step=[...])`` overrides the sampler settings for those
+    BART variables (reference tests/test_bart.py:232-235)."""
+
+    def __init__(self, vars, num_particles: int = 10,
+                 batch: Tuple[float, float] = (0.1, 0.1), model=None):
+        self.var_names = [v.name for v in vars]
+        self.config = PgbartConfig(num_particles=num_particles, batch=batch)
+
+
+def _make_loglik(compiled: CompiledModel, vname: str):
+    """Particle-weight log-likelihood for one BART variable.
+
+    lik_params = (theta, other_bart_internal dict).  Constant terms shared
+    by all particles cancel in the weight normalization."""
+
+    def loglik(f, lik_params):
+        theta, others = lik_params
+        bart_internal = dict(others)
+        bart_internal[vname] = f
+        env, _ = compiled.build_env(theta, bart_internal)
+        return compiled.observed_logp(env)
+
+    loglik.__name__ = f"loglik_{vname}"
+    return loglik
+
+
+def sample(
+    draws: int = 1000,
+    tune: int = 1000,
+    chains: int = 4,
+    random_seed: Optional[int] = None,
+    model: Optional[Model] = None,
+    num_particles: int = 10,
+    batch: Tuple[float, float] = (0.1, 0.1),
+    store_trees: bool = True,
+    max_leapfrog: int = 32,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    progressbar: bool = False,
+    step=None,
+) -> InferenceData:
+    """Run the compound PGBART(+HMC) sampler and return InferenceData.
+
+    Mirrors the surface of ``pm.sample`` the reference tests exercise
+    (reference tests/test_bart.py:58,98,235): tune/draws/chains/
+    random_seed, manual ``step=[PGBART([mu], num_particles=5), ...]``
+    overrides for per-variable particle counts.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``"chains"`` axis; the
+    vmapped chain dimension of the whole sampling program is sharded over
+    it (chain parallelism over ICI/DCN instead of PyMC's process forking,
+    SURVEY 2.4).
+    """
+    model = Model.get_context(model)
+    compiled = CompiledModel(model)
+    if random_seed is None:
+        random_seed = np.random.default_rng().integers(0, 2**31 - 1)
+    root_key = jax.random.PRNGKey(int(random_seed))
+
+    # per-BART-variable PGBART configs (manual `step` overrides)
+    pg_cfgs: Dict[str, PgbartConfig] = {}
+    for brv in compiled.bart_rvs:
+        pg_cfgs[brv.name] = PgbartConfig(num_particles=num_particles, batch=batch)
+    if step is not None:
+        steps = step if isinstance(step, (list, tuple)) else [step]
+        for st in steps:
+            for vname in st.var_names:
+                pg_cfgs[vname] = st.config
+
+    bart_static = []
+    for brv in compiled.bart_rvs:
+        X = jnp.asarray(brv.X, jnp.float32)
+        n, k = X.shape[0], brv.config.n_outputs
+        Yt = jnp.broadcast_to(
+            jnp.asarray(brv.Y, jnp.float32).reshape(n, -1)[:, :1], (n, k)
+        ).astype(jnp.float32)
+        rules = jnp.asarray(brv.rules_array())
+        bart_static.append(
+            dict(name=brv.name, X=X, Yt=Yt, rules=rules, cfg=brv.config,
+                 pg=pg_cfgs[brv.name], loglik=_make_loglik(compiled, brv.name),
+                 split_prior=brv.split_prior)
+        )
+
+    theta0 = compiled.initial_theta()
+    n_bart = len(bart_static)
+
+    def init_chain(key):
+        bart_states = tuple(
+            pgbart.init_state(bs["X"], bs["Yt"], bs["cfg"],
+                              jnp.asarray(bs["split_prior"], jnp.float32)
+                              if bs["split_prior"].size else None)
+            for bs in bart_static
+        )
+        jitter = jax.random.uniform(key, (compiled.theta_size,),
+                                    minval=-0.5, maxval=0.5)
+        h = hmc.init_state(jnp.asarray(theta0) + jitter)
+        return bart_states, h
+
+    def bart_internal_values(bart_states):
+        return {bart_static[i]["name"]: bart_states[i].sum_trees
+                for i in range(n_bart)}
+
+    def hmc_logp(theta, params):
+        (bart_vals,) = params
+        return compiled.logdensity(theta, bart_vals)
+
+    def one_step(carry, key, tuning: bool):
+        bart_states, h = carry
+        keys = jax.random.split(key, n_bart + 1)
+        vis = []
+        bart_states = list(bart_states)
+        for i, bs in enumerate(bart_static):
+            others = {bart_static[j]["name"]: bart_states[j].sum_trees
+                      for j in range(n_bart) if j != i}
+            lik_params = (h.theta, others)
+            new_state, vi = pgbart.pgbart_step(
+                keys[i], bart_states[i], bs["X"], bs["Yt"], bs["rules"],
+                bs["cfg"], bs["pg"], bs["loglik"], lik_params, tuning,
+            )
+            bart_states[i] = new_state
+            vis.append(vi)
+        bart_states = tuple(bart_states)
+
+        if compiled.theta_size > 0:
+            bart_vals = bart_internal_values(bart_states)
+            h, accept = hmc.hmc_step(
+                keys[-1], h, hmc_logp, (bart_vals,), tuning=tuning,
+                max_leapfrog=max_leapfrog,
+            )
+        else:
+            accept = jnp.ones(())
+        return (bart_states, h), (vis, accept)
+
+    # pad variable-inclusion outputs to a common width
+    p_max = max((bs["X"].shape[1] for bs in bart_static), default=1)
+
+    def collect(carry):
+        bart_states, h = carry
+        out = {}
+        for i, bs in enumerate(bart_static):
+            f = bart_states[i].sum_trees
+            out[bs["name"]] = compiled.bart_external(bs["name"], f)
+        param_env, _ = compiled.unpack_theta(h.theta)
+        out.update(param_env)
+        return out
+
+    def run_chain(key):
+        k_init, k_tune, k_draw = jax.random.split(key, 3)
+        carry = init_chain(k_init)
+
+        def tune_body(carry, k):
+            carry, (vis, accept) = one_step(carry, k, True)
+            return carry, accept
+
+        carry, _ = jax.lax.scan(tune_body, carry, jax.random.split(k_tune, tune))
+        bart_states, h = carry
+        h = hmc.finalize_adaptation(h)
+        carry = (bart_states, h)
+
+        def draw_body(carry, k):
+            carry, (vis, accept) = one_step(carry, k, False)
+            bart_states, h = carry
+            values = collect(carry)
+            vi_pad = jnp.stack([
+                jnp.pad(v, (0, p_max - v.shape[0])) for v in vis
+            ]) if vis else jnp.zeros((0, p_max))
+            snap = None
+            if store_trees:
+                snap = tuple(
+                    (s.forest.split_var, s.forest.split_val, s.forest.split_set,
+                     s.forest.leaf, s.forest.count)
+                    for s in bart_states
+                )
+            return carry, (values, vi_pad, accept, snap)
+
+        carry, (values, vi, accept, snaps) = jax.lax.scan(
+            draw_body, carry, jax.random.split(k_draw, draws)
+        )
+        return values, vi, accept, snaps
+
+    chain_keys = jax.random.split(root_key, chains)
+    run = jax.vmap(run_chain)
+    if mesh is not None:
+        spec = jax.sharding.PartitionSpec("chains")
+        sharding = jax.sharding.NamedSharding(mesh, spec)
+        chain_keys = jax.device_put(chain_keys, sharding)
+        run = jax.jit(run, in_shardings=(sharding,))
+    else:
+        run = jax.jit(run)
+
+    values, vi, accept, snaps = jax.device_get(run(chain_keys))
+
+    # -- build InferenceData -------------------------------------------------
+    posterior_vars: Dict[str, DataArray] = {}
+    for brv in compiled.bart_rvs:
+        v = values[brv.name]  # (chains, draws, ...) numpy
+        dims = ["chain", "draw"] + [f"{brv.name}_dim_{i}" for i in range(v.ndim - 2)]
+        posterior_vars[brv.name] = DataArray(v, dims, name=brv.name)
+    for rv in compiled.free_params:
+        v = values[rv.name]
+        dims = ["chain", "draw"] + [f"{rv.name}_dim_{i}" for i in range(v.ndim - 2)]
+        posterior_vars[rv.name] = DataArray(v, dims, name=rv.name)
+
+    sample_stats_vars = {
+        "variable_inclusion": DataArray(
+            np.asarray(vi, np.int64)
+            if n_bart else np.zeros((chains, draws, 0, p_max), np.int64),
+            ["chain", "draw", "variable_inclusion_dim_0", "variable_inclusion_dim_1"],
+            name="variable_inclusion",
+        ),
+        "mean_accept": DataArray(np.asarray(accept), ["chain", "draw"],
+                                 name="mean_accept"),
+    }
+    idata = InferenceData(
+        posterior=Dataset(posterior_vars),
+        sample_stats=Dataset(sample_stats_vars),
+        observed_data=Dataset({
+            orv.name: DataArray(
+                orv.observed,
+                [f"{orv.name}_dim_{i}" for i in range(orv.observed.ndim)],
+                name=orv.name)
+            for orv in model.observed_rvs
+        }),
+    )
+
+    # attach posterior forests to each BART RV (the all_trees equivalent)
+    if store_trees and snaps is not None:
+        for i, brv in enumerate(compiled.bart_rvs):
+            sv, sl, ss, lf, ct = (np.asarray(a) for a in snaps[i])
+            brv.all_trees = PosteriorForests(
+                split_var=sv, split_val=sl, split_set=ss, leaf=lf, count=ct,
+                config=brv.config, rules=brv.rules_array(),
+                X_train=np.asarray(brv.X),
+            )
+    idata._model = model  # convenience backref
+    return idata
