@@ -1,0 +1,134 @@
+"""Benchmark: posterior draws/s on Friedman BART (m=50) — BASELINE.md
+config 1 and the north-star metric.
+
+The reference publishes no numbers (BASELINE.md), and CPU PyMC-BART
+cannot run in this image (no pymc).  The denominator is therefore this
+engine's own CPU run of the identical program (single chain), a proxy for
+the "CPU BART sampler" baseline; ``vs_baseline`` = device draws/s / CPU
+draws/s.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+N_ROWS = 1000
+P_COVARS = 10
+M_TREES = 50
+PARTICLES = 20
+TUNE = 50
+DRAWS = 100
+BATCH = (0.1, 0.1)
+
+
+def friedman(n, p, seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.uniform(size=(n, p)).astype(np.float32)
+    f = (
+        10 * np.sin(np.pi * X[:, 0] * X[:, 1])
+        + 20 * (X[:, 2] - 0.5) ** 2
+        + 10 * X[:, 3]
+        + 5 * X[:, 4]
+    )
+    Y = (f + rng.normal(0, 1.0, n)).astype(np.float32)
+    return X, Y, f
+
+
+def run_bench(platform: str | None, tune: int, draws: int):
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    import jax.numpy as jnp
+
+    from pymc_bart_tpu.config import BartConfig, PgbartConfig
+    from pymc_bart_tpu.sampler import pgbart
+
+    X_np, Y_np, f_true = friedman(N_ROWS, P_COVARS)
+    cfg = BartConfig(m=M_TREES, max_depth=6)
+    pg = PgbartConfig(num_particles=PARTICLES, batch=BATCH)
+    X = jnp.asarray(X_np)
+    Yt = jnp.asarray(Y_np)[:, None]
+    rules = jnp.zeros(P_COVARS, jnp.int32)
+    sigma = jnp.float32(1.0)
+
+    def loglik(f, params):
+        y, s = params
+        return jnp.sum(-0.5 * ((y - f) / s) ** 2)
+
+    params = (Yt, sigma)
+
+    def many_steps(key, state, n_steps: int, tuning: bool):
+        def body(carry, k):
+            st, _ = carry
+            st, vi = pgbart.pgbart_step(
+                k, st, X, Yt, rules, cfg, pg, loglik, params, tuning)
+            return (st, vi), None
+
+        keys = jax.random.split(key, n_steps)
+        (state, vi), _ = jax.lax.scan(body, (state, jnp.zeros(P_COVARS)), keys)
+        return state, vi
+
+    jit_steps = jax.jit(many_steps, static_argnames=("n_steps", "tuning"))
+
+    state = pgbart.init_state(X, Yt, cfg)
+    key = jax.random.PRNGKey(0)
+    k_tune, k_warm, k_time = jax.random.split(key, 3)
+
+    # tune (also compiles the tuning variant)
+    state, _ = jit_steps(k_tune, state, tune, True)
+    jax.block_until_ready(state.sum_trees)
+    # compile + warmup the draw variant
+    state, _ = jit_steps(k_warm, state, 2, False)
+    jax.block_until_ready(state.sum_trees)
+
+    t0 = time.perf_counter()
+    state, _ = jit_steps(k_time, state, draws, False)
+    jax.block_until_ready(state.sum_trees)
+    dt = time.perf_counter() - t0
+
+    fhat = np.asarray(state.sum_trees)[:, 0]
+    rmse = float(np.sqrt(np.mean((fhat - f_true) ** 2)))
+    return draws / dt, rmse, jax.devices()[0].platform
+
+
+def main():
+    if os.environ.get("_BENCH_CHILD") == "cpu":
+        dps, rmse, plat = run_bench("cpu", tune=20, draws=20)
+        print(json.dumps({"cpu_draws_per_s": dps, "rmse": rmse}))
+        return
+
+    # CPU denominator in a subprocess (platform choice is process-global)
+    env = dict(os.environ, _BENCH_CHILD="cpu")
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=1800,
+        )
+        cpu_line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        cpu_dps = json.loads(cpu_line)["cpu_draws_per_s"]
+    except Exception as e:  # noqa: BLE001
+        print(f"# cpu baseline failed: {e}", file=sys.stderr)
+        cpu_dps = None
+
+    dps, rmse, plat = run_bench(None, tune=TUNE, draws=DRAWS)
+    vs = (dps / cpu_dps) if cpu_dps else 1.0
+    print(json.dumps({
+        "metric": f"friedman_m{M_TREES}_p{PARTICLES}_n{N_ROWS} draws/s ({plat})",
+        "value": round(dps, 3),
+        "unit": "draws/s",
+        "vs_baseline": round(vs, 3),
+    }))
+    print(f"# rmse={rmse:.3f} cpu_draws_per_s={cpu_dps}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -34,9 +34,31 @@ from .models import (
     preprocess_xy,
     set_data,
 )
+from .models.predictive import sample_posterior_predictive
 from .sampler import PGBART, sample
+from .utils import (
+    compute_variable_importance,
+    get_variable_inclusion,
+    plot_convergence,
+    plot_ice,
+    plot_pdp,
+    plot_scatter_submodels,
+    plot_variable_importance,
+    plot_variable_inclusion,
+    vi_to_kulprit,
+)
 
 __all__ = [
+    "compute_variable_importance",
+    "get_variable_inclusion",
+    "plot_convergence",
+    "plot_ice",
+    "plot_pdp",
+    "plot_scatter_submodels",
+    "plot_variable_importance",
+    "plot_variable_inclusion",
+    "sample_posterior_predictive",
+    "vi_to_kulprit",
     "BART",
     "BARTRV",
     "BartConfig",
