@@ -94,10 +94,21 @@ class PgbartConfig:
 
     num_particles: int = 10
     batch: Tuple[float, float] = (0.1, 0.1)
+    # Metropolis refinement sweeps over the selected tree's leaf values
+    # after each SMC tree update.  The SMC's leaf-value proposals are
+    # anchored at the node residual mean — near-conjugate for Gaussian
+    # likelihoods but mean-reverting for link functions (softmax/logit),
+    # where the likelihood's preferred leaf values are far from the
+    # pseudo-residual scale.  A few random-walk MH sweeps on the values
+    # (structure fixed, likelihood-targeted) restore value mixing there;
+    # they are cheap relative to the SMC (one likelihood eval each).
+    num_refinements: int = 5
 
     def __post_init__(self):
         if self.num_particles < 2:
             raise ValueError("num_particles must be >= 2")
+        if self.num_refinements < 0:
+            raise ValueError("num_refinements must be >= 0")
         for frac in self.batch:
             if not 0.0 < frac <= 1.0:
                 raise ValueError("batch fractions must be in (0, 1]")

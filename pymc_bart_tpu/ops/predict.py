@@ -12,6 +12,12 @@ fixed-shape, fully vectorized traversals:
   proportionally to training row counts, reproducing the reference's
   "fast PDP" exclusion semantics (children averaged weighted by row
   counts; reference CHANGELOG.md:377-378 and SURVEY 2.3 TreeArrays).
+
+Leaf response: a leaf predicts ``leaf + slope * x[:, parent_split_var]``
+(reference linear response, bart.py:85-87); slope is identically zero for
+the default constant response, so both responses share these kernels.
+Under exclusion, the linear term still reads the actual covariate value —
+exclusion integrates out *routing*, not leaf functions.
 """
 
 from __future__ import annotations
@@ -49,10 +55,21 @@ def tree_leaf_index(split_var, split_val, split_set, X, rules, depth: int):
     return idx
 
 
-def tree_predict(split_var, split_val, split_set, leaf, X, rules, depth: int):
+def leaf_values_at(split_var, leaf, slope, X, idx):
+    """Leaf response at node slots ``idx`` per row: float32[n, k]."""
+    parent = jnp.maximum((idx - 1) // 2, 0)
+    pvar = split_var[parent]
+    pvar_c = jnp.clip(pvar, 0, X.shape[1] - 1)
+    xp = jnp.take_along_axis(X, pvar_c[:, None], axis=1)[:, 0]
+    xp = jnp.where((idx > 0) & (pvar >= 0), jnp.nan_to_num(xp, nan=0.0), 0.0)
+    return leaf[idx] + slope[idx] * xp[:, None]
+
+
+def tree_predict(split_var, split_val, split_set, leaf, slope, X, rules,
+                 depth: int):
     """Single-tree prediction: float32[n, k]."""
     idx = tree_leaf_index(split_var, split_val, split_set, X, rules, depth)
-    return leaf[idx]
+    return leaf_values_at(split_var, leaf, slope, X, idx)
 
 
 def forest_predict(forest: Forest, X, rules, depth: int | None = None):
@@ -65,13 +82,14 @@ def forest_predict(forest: Forest, X, rules, depth: int | None = None):
     if depth is None:
         depth = _max_depth_of(forest.split_var.shape[-1])
     per_tree = jax.vmap(
-        lambda sv, sl, ss, lf: tree_predict(sv, sl, ss, lf, X, rules, depth)
-    )(forest.split_var, forest.split_val, forest.split_set, forest.leaf)
+        lambda sv, sl, ss, lf, sp: tree_predict(sv, sl, ss, lf, sp, X, rules, depth)
+    )(forest.split_var, forest.split_val, forest.split_set, forest.leaf,
+      forest.slope)
     return per_tree.sum(axis=0)
 
 
-def tree_predict_excluded(split_var, split_val, split_set, leaf, count, X, rules,
-                          excluded_mask, depth: int):
+def tree_predict_excluded(split_var, split_val, split_set, leaf, count, slope,
+                          X, rules, excluded_mask, depth: int):
     """Single-tree prediction with covariates marked in ``excluded_mask``
     integrated out by row-count-weighted mass propagation: float32[n, k].
 
@@ -86,9 +104,21 @@ def tree_predict_excluded(split_var, split_val, split_set, leaf, count, X, rules
         var = split_var[lo:hi]
         var_c = jnp.clip(var, 0, X.shape[1] - 1)
         internal = (var >= 0) & (d < depth)
+        # leaf response values for this level's slots, per row
+        slots = jnp.arange(lo, hi)
+        parent = jnp.maximum((slots - 1) // 2, 0)
+        pvar = split_var[parent]
+        pvar_c = jnp.clip(pvar, 0, X.shape[1] - 1)
+        xp = X[:, pvar_c]  # (n, S_d)
+        xp = jnp.where((slots > 0) & (pvar >= 0)[None, :],
+                       jnp.nan_to_num(xp, nan=0.0), 0.0)
+        level_vals = leaf[lo:hi][None, :, :] + slope[lo:hi][None, :, :] * xp[:, :, None]
         # accumulate output where mass sits on a leaf
         leaf_here = jnp.where(internal, 0.0, 1.0)
-        out = out + (mass * leaf_here[None, :]) @ leaf[lo:hi]
+        out = out + jnp.einsum(
+            "ns,nsk->nk", mass * leaf_here[None, :], level_vals,
+            preferred_element_type=jnp.float32,
+        )
         if d == depth:
             break
         xv = X[:, var_c]  # (n, S_d)
@@ -109,9 +139,10 @@ def forest_predict_excluded(forest: Forest, X, rules, excluded_mask, depth: int 
     if depth is None:
         depth = _max_depth_of(forest.split_var.shape[-1])
     per_tree = jax.vmap(
-        lambda sv, sl, ss, lf, ct: tree_predict_excluded(
-            sv, sl, ss, lf, ct, X, rules, excluded_mask, depth)
-    )(forest.split_var, forest.split_val, forest.split_set, forest.leaf, forest.count)
+        lambda sv, sl, ss, lf, ct, sp: tree_predict_excluded(
+            sv, sl, ss, lf, ct, sp, X, rules, excluded_mask, depth)
+    )(forest.split_var, forest.split_val, forest.split_set, forest.leaf,
+      forest.count, forest.slope)
     return per_tree.sum(axis=0)
 
 

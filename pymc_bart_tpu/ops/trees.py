@@ -22,6 +22,11 @@ Arrays (all with a leading ``m`` tree axis; a single particle tree drops it):
   was still a leaf): this gives every tree a well-defined depth-truncated
   prediction, which the conditional-SMC kernel uses to weight the frozen
   reference particle round by round.
+* ``slope      : float32[m, S, k]`` — per-leaf linear-response slope for
+  ``response="linear"|"mix"`` (reference bart.py:85-87, experimental):
+  a leaf predicts ``leaf + slope * x[:, parent_split_var]``.  All-zero
+  under the default constant response, so prediction kernels share one
+  code path.
 * ``count      : float32[m, S]`` — number of training rows that reached the
   node; used for the row-count-weighted children average that implements
   ``predict(x, excluded)`` (reference ``pymc_bart/utils.py:93-94``).
@@ -46,6 +51,7 @@ class Forest:
     split_set: jax.Array  # uint32[..., m, S]
     leaf: jax.Array  # float32[..., m, S, k]
     count: jax.Array  # float32[..., m, S]
+    slope: jax.Array  # float32[..., m, S, k]
 
     @property
     def n_trees(self) -> int:
@@ -67,6 +73,7 @@ class Forest:
             self.split_set[..., j, :],
             self.leaf[..., j, :, :],
             self.count[..., j, :],
+            self.slope[..., j, :, :],
         )
 
 
@@ -87,6 +94,7 @@ def init_forest(m: int, n_nodes: int, n_outputs: int, init_leaf_value, n_rows: i
         split_set=jnp.zeros((m, n_nodes), jnp.uint32),
         leaf=leaf,
         count=count,
+        slope=jnp.zeros((m, n_nodes, n_outputs), jnp.float32),
     )
 
 

@@ -18,11 +18,54 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import PgbartConfig
-from ..models.expr import evaluate
+from ..models.distributions import BernoulliDist, CategoricalDist
+from ..models.expr import Expr, Op, evaluate
 from ..models.inference_data import DataArray, Dataset, InferenceData
 from ..models.model import BARTRV, Model
 from ..utils.posterior import PosteriorForests
 from . import hmc, pgbart
+
+
+def _expr_leaf_names(x, acc=None):
+    """Names of named leaves referenced by an expression."""
+    if acc is None:
+        acc = set()
+    if isinstance(x, Op):
+        for a in x.args:
+            _expr_leaf_names(a, acc)
+    elif isinstance(x, Expr):
+        name = getattr(x, "name", None)
+        if name is not None:
+            acc.add(name)
+    return acc
+
+
+def _bart_growth_target(model: Model, brv: BARTRV) -> np.ndarray:
+    """Per-output regression target (n, k) for leaf-value proposals.
+
+    Default: the observed Y broadcast over outputs (the reference's
+    pseudo-residual target, SURVEY 2.3).  For a multi-output BART feeding
+    a Categorical likelihood through softmax, the broadcast-label target
+    mean-reverts the *between-class* mode to zero (softmax is
+    shift-invariant per row), so the one-hot class indicator per output
+    is used instead — the standard multi-class boosting target.  The SMC
+    likelihood weights remain the exact model likelihood either way; the
+    target only shapes proposals.
+    """
+    n = brv.X.shape[0]
+    k = brv.config.n_outputs
+    Y = np.asarray(brv.Y, np.float64).reshape(n, -1)[:, :1]
+    if k > 1:
+        for orv in model.observed_rvs:
+            refs = set()
+            for p_ in orv.params:
+                _expr_leaf_names(p_, refs)
+            if brv.name not in refs:
+                continue
+            labels = np.asarray(orv.observed).astype(int)
+            if orv.dist is CategoricalDist and labels.size == n and labels.max() < k:
+                return np.eye(k)[labels.reshape(-1)]
+    return np.broadcast_to(Y, (n, k)).copy()
 
 
 class CompiledModel:
@@ -125,9 +168,11 @@ class PGBART:
     BART variables (reference tests/test_bart.py:232-235)."""
 
     def __init__(self, vars, num_particles: int = 10,
-                 batch: Tuple[float, float] = (0.1, 0.1), model=None):
+                 batch: Tuple[float, float] = (0.1, 0.1),
+                 num_refinements: int = 5, model=None):
         self.var_names = [v.name for v in vars]
-        self.config = PgbartConfig(num_particles=num_particles, batch=batch)
+        self.config = PgbartConfig(num_particles=num_particles, batch=batch,
+                                   num_refinements=num_refinements)
 
 
 def _make_loglik(compiled: CompiledModel, vname: str):
@@ -155,11 +200,15 @@ def sample(
     model: Optional[Model] = None,
     num_particles: int = 10,
     batch: Tuple[float, float] = (0.1, 0.1),
+    num_refinements: int = 5,
     store_trees: bool = True,
     max_leapfrog: int = 32,
     mesh: Optional[jax.sharding.Mesh] = None,
     progressbar: bool = False,
     step=None,
+    chunk_size: Optional[int] = None,
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = False,
 ) -> InferenceData:
     """Run the compound PGBART(+HMC) sampler and return InferenceData.
 
@@ -182,7 +231,9 @@ def sample(
     # per-BART-variable PGBART configs (manual `step` overrides)
     pg_cfgs: Dict[str, PgbartConfig] = {}
     for brv in compiled.bart_rvs:
-        pg_cfgs[brv.name] = PgbartConfig(num_particles=num_particles, batch=batch)
+        pg_cfgs[brv.name] = PgbartConfig(
+            num_particles=num_particles, batch=batch,
+            num_refinements=num_refinements)
     if step is not None:
         steps = step if isinstance(step, (list, tuple)) else [step]
         for st in steps:
@@ -193,9 +244,7 @@ def sample(
     for brv in compiled.bart_rvs:
         X = jnp.asarray(brv.X, jnp.float32)
         n, k = X.shape[0], brv.config.n_outputs
-        Yt = jnp.broadcast_to(
-            jnp.asarray(brv.Y, jnp.float32).reshape(n, -1)[:, :1], (n, k)
-        ).astype(jnp.float32)
+        Yt = jnp.asarray(_bart_growth_target(model, brv), jnp.float32)
         rules = jnp.asarray(brv.rules_array())
         bart_static.append(
             dict(name=brv.name, X=X, Yt=Yt, rules=rules, cfg=brv.config,
@@ -266,51 +315,107 @@ def sample(
         out.update(param_env)
         return out
 
-    def run_chain(key):
-        k_init, k_tune, k_draw = jax.random.split(key, 3)
-        carry = init_chain(k_init)
+    def tune_body(carry, k):
+        carry, (vis, accept) = one_step(carry, k, True)
+        return carry, accept
 
-        def tune_body(carry, k):
-            carry, (vis, accept) = one_step(carry, k, True)
-            return carry, accept
-
-        carry, _ = jax.lax.scan(tune_body, carry, jax.random.split(k_tune, tune))
+    def draw_body(carry, k):
+        carry, (vis, accept) = one_step(carry, k, False)
         bart_states, h = carry
-        h = hmc.finalize_adaptation(h)
-        carry = (bart_states, h)
+        values = collect(carry)
+        vi_pad = jnp.stack([
+            jnp.pad(v, (0, p_max - v.shape[0])) for v in vis
+        ]) if vis else jnp.zeros((0, p_max))
+        snap = None
+        if store_trees:
+            snap = tuple(
+                (s.forest.split_var, s.forest.split_val, s.forest.split_set,
+                 s.forest.leaf, s.forest.count, s.forest.slope)
+                for s in bart_states
+            )
+        return carry, (values, vi_pad, accept, snap)
 
-        def draw_body(carry, k):
-            carry, (vis, accept) = one_step(carry, k, False)
-            bart_states, h = carry
-            values = collect(carry)
-            vi_pad = jnp.stack([
-                jnp.pad(v, (0, p_max - v.shape[0])) for v in vis
-            ]) if vis else jnp.zeros((0, p_max))
-            snap = None
-            if store_trees:
-                snap = tuple(
-                    (s.forest.split_var, s.forest.split_val, s.forest.split_set,
-                     s.forest.leaf, s.forest.count)
-                    for s in bart_states
-                )
-            return carry, (values, vi_pad, accept, snap)
+    def tune_chunk(carry, keys):
+        return jax.lax.scan(tune_body, carry, keys)[0]
 
-        carry, (values, vi, accept, snaps) = jax.lax.scan(
-            draw_body, carry, jax.random.split(k_draw, draws)
-        )
-        return values, vi, accept, snaps
+    def draw_chunk(carry, keys):
+        return jax.lax.scan(draw_body, carry, keys)
 
-    chain_keys = jax.random.split(root_key, chains)
-    run = jax.vmap(run_chain)
+    jit_init = jax.jit(jax.vmap(init_chain))
+    jit_tune = jax.jit(jax.vmap(tune_chunk))
+    jit_draw = jax.jit(jax.vmap(draw_chunk))
+
+    chain_keys = jax.random.split(jax.random.fold_in(root_key, 0), chains)
     if mesh is not None:
         spec = jax.sharding.PartitionSpec("chains")
         sharding = jax.sharding.NamedSharding(mesh, spec)
         chain_keys = jax.device_put(chain_keys, sharding)
-        run = jax.jit(run, in_shardings=(sharding,))
-    else:
-        run = jax.jit(run)
 
-    values, vi, accept, snaps = jax.device_get(run(chain_keys))
+    if chunk_size is None:
+        chunk_size = max(1, min(200, draws))
+
+    def chunk_keys(phase: int, start: int, count: int):
+        ks = jnp.stack([
+            jax.random.split(jax.random.fold_in(root_key, (phase << 20) + start + t),
+                             chains)
+            for t in range(count)
+        ], axis=1)  # (chains, count, key)
+        if mesh is not None:
+            ks = jax.device_put(ks, sharding)
+        return ks
+
+    # -- resume / init -------------------------------------------------------
+    from ..utils import checkpoint as ckpt_mod
+
+    carry = jit_init(chain_keys)
+    start_tune, start_draw = 0, 0
+    if checkpoint_dir is not None and resume:
+        found = ckpt_mod.latest_checkpoint(checkpoint_dir)
+        if found is not None:
+            path, step = found
+            carry = ckpt_mod.load_checkpoint(path, carry)
+            if step < tune:
+                start_tune = step
+            else:
+                start_tune = tune
+                start_draw = step - tune
+
+    def maybe_checkpoint(carry, step):
+        if checkpoint_dir is not None:
+            ckpt_mod.save_checkpoint(checkpoint_dir, jax.device_get(carry),
+                                     meta={"tune": tune, "draws": draws},
+                                     step=step)
+
+    # -- tuning --------------------------------------------------------------
+    t = start_tune
+    while t < tune:
+        c = min(chunk_size, tune - t)
+        carry = jit_tune(carry, chunk_keys(0, t, c))
+        t += c
+        maybe_checkpoint(carry, t)
+        if progressbar:
+            print(f"tune {t}/{tune}", flush=True)
+    bart_states_b, h_b = carry
+    h_b = hmc.finalize_adaptation(h_b)
+    carry = (bart_states_b, h_b)
+
+    # -- draws (chunked; outputs accumulate on host) -------------------------
+    acc: List = []
+    t = start_draw
+    while t < draws:
+        c = min(chunk_size, draws - t)
+        carry, outs = jit_draw(carry, chunk_keys(1, t, c))
+        acc.append(jax.device_get(outs))
+        t += c
+        maybe_checkpoint(carry, tune + t)
+        if progressbar:
+            print(f"draw {t}/{draws}", flush=True)
+
+    def cat_chunks(*chunks):
+        return np.concatenate([np.asarray(x) for x in chunks], axis=1)
+
+    values, vi, accept, snaps = jax.tree.map(cat_chunks, *acc)
+    draws = vi.shape[1] if n_bart else accept.shape[1]  # actual collected
 
     # -- build InferenceData -------------------------------------------------
     posterior_vars: Dict[str, DataArray] = {}
@@ -348,10 +453,10 @@ def sample(
     # attach posterior forests to each BART RV (the all_trees equivalent)
     if store_trees and snaps is not None:
         for i, brv in enumerate(compiled.bart_rvs):
-            sv, sl, ss, lf, ct = (np.asarray(a) for a in snaps[i])
+            sv, sl, ss, lf, ct, sp = (np.asarray(a) for a in snaps[i])
             brv.all_trees = PosteriorForests(
                 split_var=sv, split_val=sl, split_set=ss, leaf=lf, count=ct,
-                config=brv.config, rules=brv.rules_array(),
+                slope=sp, config=brv.config, rules=brv.rules_array(),
                 X_train=np.asarray(brv.X),
             )
     idata._model = model  # convenience backref

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 
 from ..config import BartConfig, PgbartConfig
 from ..ops.trees import Forest, decide_left, init_forest
-from ..ops.predict import tree_predict
+from ..ops.predict import leaf_values_at, tree_predict
 from ..ops.resample import (
     effective_sample_size,
     normalize_log_weights,
@@ -115,7 +115,7 @@ def _child_stats(leaf_idx, resid, lo: int, width: int):
     return counts, sums
 
 
-def _grow_round(key, frozen, sv, sl, st, lf, ct, leaf_idx, d: int, X, rules,
+def _grow_round(key, frozen, sv, sl, st, lf, ct, sp, leaf_idx, d: int, X, rules,
                 log_alpha, leaf_sd, resid, cfg: BartConfig):
     """One depth-synchronous growth round for a single particle.
 
@@ -127,7 +127,7 @@ def _grow_round(key, frozen, sv, sl, st, lf, ct, leaf_idx, d: int, X, rules,
     lo, hi = 2**d - 1, 2 ** (d + 1) - 1
     G = hi - lo
     slots = lo + jnp.arange(G, dtype=jnp.int32)
-    k_grow, k_var, k_row, k_set, k_leaf = jax.random.split(key, 5)
+    k_grow, k_var, k_row, k_set, k_leaf, k_mix = jax.random.split(key, 6)
 
     node_sv = sv[lo:hi]
     is_leaf = node_sv < 0
@@ -173,7 +173,19 @@ def _grow_round(key, frozen, sv, sl, st, lf, ct, leaf_idx, d: int, X, rules,
 
     # child sufficient statistics; growth is reverted if a child is empty
     # (reference semantics: a proposed split with an empty child fails)
-    ccounts, csums = _child_stats(tentative, resid, hi, 2 * G)
+    kk = cfg.n_outputs
+    if cfg.response == "constant":
+        ccounts, csums = _child_stats(tentative, resid, hi, 2 * G)
+    else:
+        # linear leaf response (reference bart.py:85-87): per-child least-
+        # squares fit of the residual against the parent's split covariate.
+        xs = jnp.nan_to_num(xv, nan=0.0)
+        z = jnp.concatenate(
+            [resid, xs[:, None], (xs * xs)[:, None], xs[:, None] * resid],
+            axis=1,
+        )  # (n, 2k + 2)
+        ccounts, zsums = _child_stats(tentative, z, hi, 2 * G)
+        csums = zsums[:, :kk]
     cl, cr = ccounts[0::2], ccounts[1::2]
     valid = (cl > 0) & (cr > 0)
     grow_ok = want_grow & valid
@@ -187,13 +199,37 @@ def _grow_round(key, frozen, sv, sl, st, lf, ct, leaf_idx, d: int, X, rules,
 
     # children: counts and leaf values ~ N(child residual mean / m, leaf_sd)
     eps = jax.random.normal(k_leaf, (2 * G, cfg.n_outputs))
-    mu = csums / jnp.maximum(ccounts, 1.0)[:, None] / cfg.m + eps * leaf_sd[None, :]
+    c_safe = jnp.maximum(ccounts, 1.0)[:, None]
+    mu = csums / c_safe / cfg.m + eps * leaf_sd[None, :]
+    child_slope = jnp.zeros((2 * G, cfg.n_outputs), jnp.float32)
+    if cfg.response != "constant":
+        s_x = zsums[:, kk]
+        s_x2 = zsums[:, kk + 1]
+        s_xr = zsums[:, kk + 2 :]
+        var_x = s_x2 - s_x * s_x / c_safe[:, 0]
+        slope_hat = (s_xr - (s_x / c_safe[:, 0])[:, None] * csums) / jnp.maximum(
+            var_x, 1e-6
+        )[:, None]
+        usable = (ccounts >= 3.0) & (var_x > 1e-6)
+        if cfg.response == "mix":
+            usable = usable & jax.random.bernoulli(k_mix, 0.5, (2 * G,))
+        slope_hat = jnp.where(usable[:, None], slope_hat, 0.0)
+        intercept = (csums - slope_hat * s_x[:, None]) / c_safe
+        mu = jnp.where(
+            usable[:, None],
+            intercept / cfg.m + eps * leaf_sd[None, :],
+            mu,
+        )
+        child_slope = slope_hat / cfg.m
     parent_ok = jnp.repeat(grow_ok, 2)
     ct = ct.at[hi : hi + 2 * G].set(jnp.where(parent_ok, ccounts, ct[hi : hi + 2 * G]))
     lf = lf.at[hi : hi + 2 * G].set(
         jnp.where(parent_ok[:, None], mu, lf[hi : hi + 2 * G])
     )
-    return sv, sl, st, lf, ct, leaf_idx_new
+    sp = sp.at[hi : hi + 2 * G].set(
+        jnp.where(parent_ok[:, None], child_slope, sp[hi : hi + 2 * G])
+    )
+    return sv, sl, st, lf, ct, sp, leaf_idx_new
 
 
 # ---------------------------------------------------------------------------
@@ -224,16 +260,17 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
     lf = broadcast0(tree.leaf, fresh_lf)
     fresh_ct = jnp.zeros((S,), jnp.float32).at[0].set(float(n))
     ct = broadcast0(tree.count, fresh_ct)
+    sp = broadcast0(tree.slope, jnp.zeros((S, k), jnp.float32))
     leaf_idx = jnp.zeros((P, n), jnp.int32)
     frozen = jnp.arange(P) == 0
 
     log_alpha = jnp.log(jnp.maximum(alpha_vec, 1e-12))
     log_alpha = log_alpha - jax.scipy.special.logsumexp(log_alpha)
 
-    def particle_pred(lf_p, li_p):
-        return lf_p[li_p]  # (n, k)
+    def particle_pred(sv_p, lf_p, sp_p, li_p):
+        return leaf_values_at(sv_p, lf_p, sp_p, X, li_p)  # (n, k)
 
-    pred = jax.vmap(particle_pred)(lf, leaf_idx)
+    pred = jax.vmap(particle_pred)(sv, lf, sp, leaf_idx)
     ll = jax.vmap(lambda f: loglik_fn(sum_noi + f, lik_params))(pred)
     log_w = ll
     ll_prev = ll
@@ -241,12 +278,13 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
     for d in range(D):
         key, k_round, k_res = jax.random.split(key, 3)
         pkeys = jax.random.split(k_round, P)
-        sv, sl, st, lf, ct, leaf_idx = jax.vmap(
-            lambda pk, fz, a, b, c, e, f_, g: _grow_round(
-                pk, fz, a, b, c, e, f_, g, d, X, rules, log_alpha, leaf_sd, resid, cfg
+        sv, sl, st, lf, ct, sp, leaf_idx = jax.vmap(
+            lambda pk, fz, a, b, c, e, f_, g, h_: _grow_round(
+                pk, fz, a, b, c, e, f_, g, h_, d, X, rules, log_alpha,
+                leaf_sd, resid, cfg
             )
-        )(pkeys, frozen, sv, sl, st, lf, ct, leaf_idx)
-        pred = jax.vmap(particle_pred)(lf, leaf_idx)
+        )(pkeys, frozen, sv, sl, st, lf, ct, sp, leaf_idx)
+        pred = jax.vmap(particle_pred)(sv, lf, sp, leaf_idx)
         ll = jax.vmap(lambda f: loglik_fn(sum_noi + f, lik_params))(pred)
         log_w = log_w + ll - ll_prev
         ll_prev = ll
@@ -257,8 +295,8 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
             idx = systematic_indices(k_res, probs, P - 1) + 1
             idx = jnp.where(do_resample, idx, jnp.arange(1, P, dtype=jnp.int32))
             take = jnp.concatenate([jnp.zeros((1,), jnp.int32), idx])
-            sv, sl, st, lf, ct, leaf_idx, pred = (
-                a[take] for a in (sv, sl, st, lf, ct, leaf_idx, pred)
+            sv, sl, st, lf, ct, sp, leaf_idx, pred = (
+                a[take] for a in (sv, sl, st, lf, ct, sp, leaf_idx, pred)
             )
             ll_prev = ll_prev[take]
             reset = jnp.concatenate([log_w[:1], jnp.full((P - 1,), log_mean)])
@@ -266,8 +304,38 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
 
     key, k_sel = jax.random.split(key)
     widx = jax.random.categorical(k_sel, log_w)
-    new_tree = Forest(sv[widx], sl[widx], st[widx], lf[widx], ct[widx])
-    return new_tree, pred[widx]
+    sv_w, sl_w, st_w, lf_w, ct_w, sp_w = (
+        a[widx] for a in (sv, sl, st, lf, ct, sp)
+    )
+    li_w = leaf_idx[widx]
+    pred_w = pred[widx]
+
+    # Metropolis refinement of the winner's leaf values (structure fixed):
+    # random-walk proposals on the active leaves, accepted by likelihood
+    # ratio.  See PgbartConfig.num_refinements for rationale.
+    if pg.num_refinements > 0:
+        leaf_mask = ((sv_w < 0) & (ct_w > 0))[:, None].astype(jnp.float32)
+        ll_w = loglik_fn(sum_noi + pred_w, lik_params)
+
+        def refine_body(_r, carry):
+            lf_c, pred_c, ll_c, key_c = carry
+            key_c, k_eps, k_acc = jax.random.split(key_c, 3)
+            eps = jax.random.normal(k_eps, lf_c.shape) * (0.3 * leaf_sd)[None, :]
+            lf_p = lf_c + eps * leaf_mask
+            pred_p = leaf_values_at(sv_w, lf_p, sp_w, X, li_w)
+            ll_p = loglik_fn(sum_noi + pred_p, lik_params)
+            accept = jnp.log(jax.random.uniform(k_acc, ())) < (ll_p - ll_c)
+            lf_c = jnp.where(accept, lf_p, lf_c)
+            pred_c = jnp.where(accept, pred_p, pred_c)
+            ll_c = jnp.where(accept, ll_p, ll_c)
+            return (lf_c, pred_c, ll_c, key_c)
+
+        lf_w, pred_w, _, _ = jax.lax.fori_loop(
+            0, pg.num_refinements, refine_body, (lf_w, pred_w, ll_w, key)
+        )
+
+    new_tree = Forest(sv_w, sl_w, st_w, lf_w, ct_w, sp_w)
+    return new_tree, pred_w
 
 
 # ---------------------------------------------------------------------------
@@ -321,6 +389,7 @@ def pgbart_step(key, state: PgbartState, X, Y_target, rules,
             forest.split_set.at[jt].set(new_tree.split_set),
             forest.leaf.at[jt].set(new_tree.leaf),
             forest.count.at[jt].set(new_tree.count),
+            forest.slope.at[jt].set(new_tree.slope),
         )
         tree_pred = tree_pred.at[jt].set(pred)
         sum_trees = sum_noi + pred
@@ -369,9 +438,10 @@ def refresh_tree_pred(state: PgbartState, X, rules, cfg: BartConfig) -> PgbartSt
     """Recompute the per-tree prediction cache from the forest (e.g. after
     restoring a checkpoint)."""
     per_tree = jax.vmap(
-        lambda sv, sl, ss, lfv: tree_predict(sv, sl, ss, lfv, X, rules, cfg.max_depth)
+        lambda sv, sl, ss, lfv, spv: tree_predict(
+            sv, sl, ss, lfv, spv, X, rules, cfg.max_depth)
     )(state.forest.split_var, state.forest.split_val, state.forest.split_set,
-      state.forest.leaf)
+      state.forest.leaf, state.forest.slope)
     return dataclasses.replace(
         state, tree_pred=per_tree, sum_trees=per_tree.sum(axis=0)
     )

@@ -1,0 +1,63 @@
+"""Checkpoint / resume of sampler state.
+
+The reference has no persistence at all — trees live in an in-memory
+Manager list and die with the process (SURVEY 5.3-5.4).  Here the whole
+carried sampler state (tree tensors, RNG keys, tuning statistics, HMC
+adaptation) is one pytree of arrays, so checkpointing is a flat save of
+named leaves; ``sample(..., checkpoint_dir=...)`` writes one every chunk
+and ``resume=True`` continues a crashed run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _flatten_with_names(tree):
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    return {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}, treedef
+
+
+def save_checkpoint(directory: str, state, meta: Optional[Dict[str, Any]] = None,
+                    step: int = 0) -> str:
+    """Save a sampler-state pytree; returns the checkpoint path."""
+    os.makedirs(directory, exist_ok=True)
+    arrays, _treedef = _flatten_with_names(state)
+    path = os.path.join(directory, f"ckpt_{step:08d}.npz")
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **arrays)
+    os.replace(tmp, path)
+    with open(os.path.join(directory, "meta.json"), "w") as f:
+        json.dump({"step": step, **(meta or {})}, f)
+    return path
+
+
+def latest_checkpoint(directory: str) -> Optional[Tuple[str, int]]:
+    if not os.path.isdir(directory):
+        return None
+    ckpts = sorted(
+        f for f in os.listdir(directory)
+        if f.startswith("ckpt_") and f.endswith(".npz")
+    )
+    if not ckpts:
+        return None
+    path = os.path.join(directory, ckpts[-1])
+    step = int(ckpts[-1][5:-4])
+    return path, step
+
+
+def load_checkpoint(path: str, like_state):
+    """Restore a pytree saved by ``save_checkpoint`` into the structure of
+    ``like_state`` (shapes/dtypes must match)."""
+    data = np.load(path)
+    leaves, treedef = jax.tree_util.tree_flatten(like_state)
+    restored = [
+        np.asarray(data[f"leaf_{i}"]).astype(np.asarray(leaf).dtype)
+        for i, leaf in enumerate(leaves)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, restored)

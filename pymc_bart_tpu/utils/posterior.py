@@ -35,6 +35,7 @@ class PosteriorForests:
     split_set: np.ndarray
     leaf: np.ndarray
     count: np.ndarray
+    slope: np.ndarray
     config: BartConfig
     rules: np.ndarray  # int32[p]
     X_train: np.ndarray
@@ -62,6 +63,7 @@ class PosteriorForests:
         return dataclasses.replace(
             self, split_var=f(self.split_var), split_val=f(self.split_val),
             split_set=f(self.split_set), leaf=f(self.leaf), count=f(self.count),
+            slope=f(self.slope),
         )
 
     def select(self, idx: np.ndarray) -> Forest:
@@ -73,24 +75,25 @@ class PosteriorForests:
             jnp.asarray(src.split_set[idx]),
             jnp.asarray(src.leaf[idx]),
             jnp.asarray(src.count[idx]),
+            jnp.asarray(src.slope[idx]),
         )
 
 
 @partial(jax.jit, static_argnames=("depth",))
 def _predict_draws(forests: Forest, X, rules, depth: int):
     """(draws, m, S) forests -> (draws, n, k) sum-of-trees predictions."""
-    return jax.vmap(lambda sv, sl, ss, lf, ct: forest_predict(
-        Forest(sv, sl, ss, lf, ct), X, rules, depth))(
+    return jax.vmap(lambda sv, sl, ss, lf, ct, sp: forest_predict(
+        Forest(sv, sl, ss, lf, ct, sp), X, rules, depth))(
         forests.split_var, forests.split_val, forests.split_set,
-        forests.leaf, forests.count)
+        forests.leaf, forests.count, forests.slope)
 
 
 @partial(jax.jit, static_argnames=("depth",))
 def _predict_draws_excluded(forests: Forest, X, rules, excluded_mask, depth: int):
-    return jax.vmap(lambda sv, sl, ss, lf, ct: forest_predict_excluded(
-        Forest(sv, sl, ss, lf, ct), X, rules, excluded_mask, depth))(
+    return jax.vmap(lambda sv, sl, ss, lf, ct, sp: forest_predict_excluded(
+        Forest(sv, sl, ss, lf, ct, sp), X, rules, excluded_mask, depth))(
         forests.split_var, forests.split_val, forests.split_set,
-        forests.leaf, forests.count)
+        forests.leaf, forests.count, forests.slope)
 
 
 def predict_draw_indices(all_trees: PosteriorForests, X, idx,

@@ -1,0 +1,131 @@
+"""Acceptance-config tests from BASELINE.md (small-budget versions):
+
+2. count model: BART mean + HalfNormal sigma (compound HMC step)
+4. multi-output heteroscedastic BART, shape=(2, n) for mu and log-sigma
+5. high-dim variable selection: sparse signal in p=1000 covariates with
+   split_prior, PDP/ICE machinery
+
+(Config 1 Friedman is bench.py; config 3 Bernoulli classification is
+covered here too.)
+"""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import pytest
+
+import pymc_bart_tpu as pmb
+
+
+def test_count_model_compound_step():
+    # bikes-like: count response, BART mean, HalfNormal sigma
+    rng = np.random.default_rng(0)
+    n = 120
+    X = rng.uniform(0, 1, size=(n, 4))
+    lam = 5 + 10 * np.sin(np.pi * X[:, 0])
+    Y = rng.poisson(lam).astype(float)
+
+    with pmb.Model():
+        mu = pmb.BART("mu", X, Y, m=20)
+        sigma = pmb.HalfNormal("sigma", 5.0)
+        pmb.Normal("y", mu, sigma, observed=Y)
+        idata = pmb.sample(tune=100, draws=100, chains=1, random_seed=1)
+
+    fhat = idata.posterior["mu"].values.mean(axis=(0, 1))
+    # correlation with the true rate should be strong
+    r = np.corrcoef(fhat, lam)[0, 1]
+    assert r > 0.7, r
+    assert (idata.posterior["sigma"].values > 0).all()
+
+
+def test_bernoulli_classification():
+    # BASELINE config 3: logistic-link binary outcome
+    rng = np.random.default_rng(1)
+    n = 150
+    X = rng.normal(size=(n, 3))
+    p_true = 1 / (1 + np.exp(-2.5 * X[:, 0]))
+    Y = rng.binomial(1, p_true).astype(float)
+
+    with pmb.Model():
+        lo = pmb.BART("lo", X, Y, m=20)
+        pmb.Bernoulli("y", p=pmb.math.sigmoid(lo), observed=Y)
+        idata = pmb.sample(tune=120, draws=120, chains=1, random_seed=2)
+
+    lo_hat = idata.posterior["lo"].values.mean(axis=(0, 1))
+    acc = ((lo_hat > 0) == (Y > 0.5)).mean()
+    assert acc > 0.8, acc
+
+
+def test_heteroscedastic_two_output():
+    # BASELINE config 4: shape=(2, n), mu = w[0], sigma = softplus-ish
+    rng = np.random.default_rng(2)
+    n = 150
+    X = rng.uniform(-1, 1, size=(n, 2))
+    mu_true = np.where(X[:, 0] > 0, 3.0, -3.0)
+    sd_true = np.where(X[:, 1] > 0, 2.0, 0.3)
+    Y = rng.normal(mu_true, sd_true)
+
+    with pmb.Model():
+        w = pmb.BART("w", X, Y, m=20, shape=(2, n))
+        pmb.Normal("y", w[0], pmb.math.abs(w[1]) + 0.05, observed=Y)
+        idata = pmb.sample(tune=150, draws=150, chains=1, random_seed=3)
+
+    w_post = idata.posterior["w"].values.mean(axis=(0, 1))  # (2, n)
+    # the mean output must track the true mean
+    r = np.corrcoef(w_post[0], mu_true)[0, 1]
+    assert r > 0.8, r
+
+
+def test_highdim_variable_selection():
+    # BASELINE config 5: p=1000 sparse X; signal on first 3 covariates
+    rng = np.random.default_rng(3)
+    n, p = 120, 1000
+    X = rng.normal(size=(n, p))
+    Y = 3 * X[:, 0] + 2 * X[:, 1] - 2 * X[:, 2] + rng.normal(0, 0.5, n)
+
+    split_prior = np.ones(p)
+
+    with pmb.Model():
+        mu = pmb.BART("mu", X, Y, m=20, split_prior=split_prior)
+        sigma = pmb.HalfNormal("sigma", 1.0)
+        pmb.Normal("y", mu, sigma, observed=Y)
+        idata = pmb.sample(tune=100, draws=100, chains=1, random_seed=4)
+
+    vi = idata["sample_stats"]["variable_inclusion"].values.sum(axis=(0, 1))[0]
+    top = set(np.argsort(vi)[::-1][:5])
+    hits = len(top & {0, 1, 2})
+    assert hits >= 2, (sorted(top), vi[:5])
+    # interpretability machinery runs at p=1000 (restricted var set)
+    pmb.plot_pdp(mu, X=X, Y=Y, var_idx=[0, 1, 2], samples=10)
+
+
+def test_checkpoint_resume(tmp_path):
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(40, 2))
+    Y = rng.normal(size=40)
+
+    ckdir = str(tmp_path / "ck")
+
+    def build():
+        with pmb.Model() as model:
+            mu = pmb.BART("mu", X, Y, m=5)
+            sigma = pmb.HalfNormal("sigma", 1.0)
+            pmb.Normal("y", mu, sigma, observed=Y)
+            return model
+
+    model = build()
+    idata = pmb.sample(tune=10, draws=10, chains=1, random_seed=5,
+                       model=model, chunk_size=10, checkpoint_dir=ckdir)
+    from pymc_bart_tpu.utils import checkpoint as ck
+    found = ck.latest_checkpoint(ckdir)
+    assert found is not None
+    assert found[1] == 20  # tune + draws steps recorded
+    # resume: ask for more draws; the tuned state is restored and only the
+    # remaining draws run
+    model2 = build()
+    idata2 = pmb.sample(tune=10, draws=20, chains=1, random_seed=5,
+                        model=model2, chunk_size=10, checkpoint_dir=ckdir,
+                        resume=True)
+    assert idata2.posterior["mu"].shape == (1, 10, 40)

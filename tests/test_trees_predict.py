@@ -100,7 +100,7 @@ def test_forest_predict_matches_oracle(rules_kind):
         rules = np.array([RULE_CONTINUOUS, RULE_ONEHOT, RULE_SUBSET, RULE_CONTINUOUS], np.int32)
         X[:, 1] = rng.integers(0, 4, size=n)  # one-hot column
         X[:, 2] = rng.integers(0, 6, size=n)  # subset column
-    forest = Forest(*map(jnp.asarray, (sv, sl, ss, leaf, count)))
+    forest = Forest(*map(jnp.asarray, (sv, sl, ss, leaf, count, np.zeros_like(leaf))))
     got = np.asarray(forest_predict(forest, jnp.asarray(X), jnp.asarray(rules)))
     want = sum(oracle_tree_predict(sv[j], sl[j], ss[j], leaf[j], X, rules) for j in range(m))
     np.testing.assert_allclose(got, want, rtol=1e-5)
@@ -119,7 +119,7 @@ def test_nan_routes_right():
     leaf[0, 2, 0] = +1.0  # right
     count = np.ones((1, S), np.float32)
     X = np.array([[np.nan], [-1.0], [1.0]], np.float32)
-    forest = Forest(*map(jnp.asarray, (sv, sl, ss, leaf, count)))
+    forest = Forest(*map(jnp.asarray, (sv, sl, ss, leaf, count, np.zeros_like(leaf))))
     got = np.asarray(forest_predict(forest, jnp.asarray(X), jnp.zeros(1, jnp.int32)))
     np.testing.assert_allclose(got[:, 0], [1.0, -1.0, 1.0])
 
@@ -133,7 +133,7 @@ def test_forest_predict_excluded_matches_oracle():
     excluded = [0, 3]
     mask = np.zeros(p, bool)
     mask[excluded] = True
-    forest = Forest(*map(jnp.asarray, (sv, sl, ss, leaf, count)))
+    forest = Forest(*map(jnp.asarray, (sv, sl, ss, leaf, count, np.zeros_like(leaf))))
     got = np.asarray(
         forest_predict_excluded(forest, jnp.asarray(X), jnp.asarray(rules), jnp.asarray(mask))
     )
@@ -150,7 +150,7 @@ def test_excluded_none_equals_fast_path():
     sv, sl, ss, leaf, count = random_forest(rng, m, D, k, p)
     X = rng.normal(size=(n, p)).astype(np.float32)
     rules = np.zeros(p, np.int32)
-    forest = Forest(*map(jnp.asarray, (sv, sl, ss, leaf, count)))
+    forest = Forest(*map(jnp.asarray, (sv, sl, ss, leaf, count, np.zeros_like(leaf))))
     fast = np.asarray(forest_predict(forest, jnp.asarray(X), jnp.asarray(rules)))
     slow = np.asarray(
         forest_predict_excluded(forest, jnp.asarray(X), jnp.asarray(rules),
