@@ -75,6 +75,27 @@ class Model:
                 raise KeyError(f"no Data container named {name!r}")
             self.data_vars[name].set_value(np.asarray(value, dtype=np.float64))
 
+    def initial_point(self) -> Dict[str, np.ndarray]:
+        """Initial values: BART RVs start at Y.mean() broadcast to shape
+        (reference support point, bart.py:184-187,219-221); continuous free
+        RVs at their distribution's support point."""
+        from ..sampler.compound import CompiledModel
+
+        point: Dict[str, np.ndarray] = {}
+        for brv in self.bart_rvs:
+            point[brv.name] = np.full(brv.shape, float(np.mean(brv.Y)))
+        compiled = CompiledModel(self)
+        theta0 = compiled.initial_theta()
+        off = 0
+        for rv, size in zip(compiled.free_params, compiled.param_sizes):
+            import jax.numpy as jnp
+
+            u = jnp.asarray(theta0[off : off + size])
+            u = u.reshape(rv.shape) if rv.shape else u[0]
+            point[rv.name] = np.asarray(rv.dist.transform.forward(u))
+            off += size
+        return point
+
 
 # ---------------------------------------------------------------------------
 # variable node types

@@ -1,0 +1,291 @@
+"""Fused Pallas TPU kernel for the PGBART growth round.
+
+Motivation (measured on TPU v5e): the JAX implementation of one growth
+round lowers to ~50-70 small HLO kernels per round, and per-kernel fixed
+cost (~tens of microseconds at these tiny shapes) dominates the draw
+time.  This kernel fuses the whole round — grow decisions, split
+variable/value draws, row routing, child sufficient statistics via an
+MXU one-hot matmul, empty-child revert, structure/leaf commits, and the
+round's sum-of-trees predictions — into ONE ``pallas_call`` with a grid
+over particles, with everything resident in VMEM.
+
+Two further fusions ride along:
+
+* **Ancestor gather**: the conditional-SMC resampling step selects
+  ancestor particles; instead of gathering the seven particle-state
+  arrays with separate HLO ops, the kernel reads each state block through
+  a scalar-prefetched ``take`` index (``PrefetchScalarGridSpec``), so
+  resampling costs nothing on the state arrays.
+* **Prediction**: the per-round particle predictions (needed for SMC
+  weights) are produced by the same kernel via an (n, S) one-hot x
+  (S, k) leaf matmul on the MXU.
+
+All random numbers are DRAWN OUTSIDE with ``jax.random`` and passed in,
+so this kernel is bit-exact against the pure-JAX reference path
+(`sampler/pgbart._grow_round`) and unit-tested for equality.
+
+Scope: constant leaf response (the default hot path); linear/mix
+responses and very large X (n*p*4B beyond VMEM) fall back to the JAX
+path.  Reference for semantics: SURVEY 2.3 and sampler/pgbart.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import BartConfig
+
+
+def _kernel(take_ref, frozen_ref,
+            sv_ref, sl_ref, st_ref, lf_ref, ct_ref, sp_ref, li_ref,
+            x_ref, resid_ref, rules_ref, cdf_ref, lsd_ref,
+            u_grow_ref, u_var_ref, row_gum_ref, eps_ref, set_bits_ref,
+            sv_o, sl_o, st_o, lf_o, ct_o, sp_o, li_o, pred_o,
+            *, d: int, S: int, n: int, p: int, k: int,
+            m: int, p_grow: float):
+    lo, hi = 2**d - 1, 2 ** (d + 1) - 1
+    G = hi - lo
+
+    gidx = pl.program_id(0)
+    frozen = frozen_ref[take_ref[gidx]] != 0
+
+    sv = sv_ref[0, :]          # (S,)
+    ct = ct_ref[0, :]
+    li = li_ref[0, :]          # (n,)
+
+    node_sv = jax.lax.dynamic_slice(sv, (lo,), (G,))
+    node_ct = jax.lax.dynamic_slice(ct, (lo,), (G,))
+    is_leaf = node_sv < 0
+    alive = node_ct >= 2.0
+    want_grow = (u_grow_ref[0, :] < p_grow) & is_leaf & alive & (~frozen)
+
+    # split variable via inverse CDF over alpha weights: (G, p) mask count
+    cdf = cdf_ref[0, :]
+    u_var = u_var_ref[0, :] * cdf[p - 1]
+    var_s = jnp.sum((cdf[None, :] < u_var[:, None]).astype(jnp.int32), axis=1)
+    var_s = jnp.clip(var_s, 0, p - 1)
+
+    # uniform row per node via Gumbel-max within node membership
+    slots = lo + jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)[0]
+    in_node = li[:, None] == slots[None, :]
+    scores = jnp.where(in_node, row_gum_ref[0, :][:, None], -jnp.inf)
+    row_sel = jnp.argmax(scores, axis=0).astype(jnp.int32)
+
+    # effective split params (frozen replays stored splits)
+    node_sl = jax.lax.dynamic_slice(sl_ref[0, :], (lo,), (G,))
+    node_st = jax.lax.dynamic_slice(st_ref[0, :], (lo,), (G,))
+    varx = jnp.where(frozen, node_sv, var_s)
+    varx_c = jnp.clip(varx, 0, p - 1)
+
+    # gather the split column per node and the split value per node
+    def col_body(g, carry):
+        xcol, vals = carry
+        c = varx_c[g]
+        colv = x_ref[:, pl.ds(c, 1)][:, 0]  # (n,)
+        xcol = jax.lax.dynamic_update_slice(xcol, colv[:, None], (0, g))
+        r = row_sel[g]
+        vals = jax.lax.dynamic_update_slice(
+            vals, x_ref[pl.ds(r, 1), pl.ds(c, 1)][0], (g,))
+        return xcol, vals
+
+    xcol0 = jnp.zeros((n, G), jnp.float32)
+    vals0 = jnp.zeros((G,), jnp.float32)
+    xcol, val_raw = jax.lax.fori_loop(0, G, col_body, (xcol0, vals0))
+
+    # subset-rule bitmask includes the selected row's own category
+    own_cat = jnp.clip(
+        jnp.nan_to_num(val_raw, nan=0.0).astype(jnp.int32), 0, 31
+    ).astype(jnp.uint32)
+    st_s = set_bits_ref[0, :] | (jnp.uint32(1) << own_cat)
+
+    valx = jnp.where(frozen, node_sl, val_raw)
+    setx = jnp.where(frozen, node_st, st_s)
+    active = jnp.where(frozen, node_sv >= 0, want_grow)
+
+    # per-node split rule and LEFT decision matrix (n, G)
+    rules = rules_ref[0, :]
+    rule_g = jnp.sum(
+        jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (G, p), 1) == varx_c[:, None],
+            rules[None, :], 0),
+        axis=1,
+    )
+    cont = xcol <= valx[None, :]
+    onehot_rule = xcol == valx[None, :]
+    cat = jnp.clip(jnp.nan_to_num(xcol, nan=0.0).astype(jnp.int32), 0, 31)
+    subset = ((setx[None, :] >> cat.astype(jnp.uint32)) & jnp.uint32(1)) > 0
+    subset = jnp.where(jnp.isnan(xcol), False, subset)
+    left_mat = jnp.where(
+        rule_g[None, :] == 0, cont,
+        jnp.where(rule_g[None, :] == 1, onehot_rule, subset),
+    )
+
+    # per-row decision at the row's own node
+    in_level = (li >= lo) & (li < hi)
+    g_row = jnp.clip(li - lo, 0, G - 1)
+    row_onehot = g_row[:, None] == jax.lax.broadcasted_iota(jnp.int32, (n, G), 1)
+    left = jnp.sum(jnp.where(row_onehot, left_mat, False), axis=1) > 0
+    row_active = in_level & jnp.sum(
+        jnp.where(row_onehot, active[None, :], False), axis=1) > 0
+    child = 2 * li + 1 + (1 - left.astype(jnp.int32))
+    tentative = jnp.where(row_active, child, li)
+
+    # child sufficient statistics on the MXU: one-hot (n, 2G)
+    cslots = hi + jax.lax.broadcasted_iota(jnp.int32, (n, 2 * G), 1)
+    oh = (tentative[:, None] == cslots).astype(jnp.float32)
+    ccounts = jnp.sum(oh, axis=0)                       # (2G,)
+    csums = jax.lax.dot_general(                        # (2G, k)
+        oh, resid_ref[:, :],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    cpair = ccounts.reshape(G, 2)
+    cl = cpair[:, 0]
+    cr = cpair[:, 1]
+    valid = (cl > 0) & (cr > 0)
+    grow_ok = want_grow & valid
+    active_final = jnp.where(frozen, node_sv >= 0, grow_ok)
+    row_act_final = in_level & jnp.sum(
+        jnp.where(row_onehot, active_final[None, :], False), axis=1) > 0
+    li_new = jnp.where(row_act_final, child, li)
+    li_o[0, :] = li_new
+
+    # commit structure
+    sv_new = jax.lax.dynamic_update_slice(
+        sv, jnp.where(grow_ok, var_s, node_sv), (lo,))
+    sv_o[0, :] = sv_new
+    sl_o[0, :] = jax.lax.dynamic_update_slice(
+        sl_ref[0, :], jnp.where(grow_ok, val_raw, node_sl), (lo,))
+    st_o[0, :] = jax.lax.dynamic_update_slice(
+        st_ref[0, :], jnp.where(grow_ok, st_s, node_st), (lo,))
+
+    # children: counts + leaf values ~ N(child mean / m, leaf_sd)
+    parent_ok = jnp.stack([grow_ok, grow_ok], axis=1).reshape(2 * G)
+    old_cct = jax.lax.dynamic_slice(ct, (hi,), (2 * G,))
+    ct_o[0, :] = jax.lax.dynamic_update_slice(
+        ct, jnp.where(parent_ok, ccounts, old_cct), (hi,))
+
+    lsd = lsd_ref[0, :]  # (k,)
+    mu = csums / jnp.maximum(ccounts, 1.0)[:, None] / m \
+        + eps_ref[0, :, :] * lsd[None, :]
+    lf_full = lf_ref[0, :, :]  # (S, k)
+    old_clf = jax.lax.dynamic_slice(lf_full, (hi, 0), (2 * G, k))
+    lf_new = jax.lax.dynamic_update_slice(
+        lf_full, jnp.where(parent_ok[:, None], mu, old_clf), (hi, 0))
+    lf_o[0, :, :] = lf_new
+    sp_o[0, :, :] = sp_ref[0, :, :]  # constant response: slopes stay zero
+
+    # per-round prediction: one-hot (n, S) x leaf (S, k) on the MXU
+    soh = (li_new[:, None]
+           == jax.lax.broadcasted_iota(jnp.int32, (n, S), 1)).astype(jnp.float32)
+    pred_o[0, :, :] = jax.lax.dot_general(
+        soh, lf_new,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d", "cfg"),
+)
+def grow_round_pallas(take, frozen, sv, sl, st, lf, ct, sp, leaf_idx,
+                      X, resid, rules, alpha_cdf, leaf_sd,
+                      u_grow, u_var, row_gum, eps, set_bits,
+                      d: int, cfg: BartConfig):
+    """One fused growth round for all particles.
+
+    take: int32[P] ancestor index per output particle (identity when the
+    SMC did not resample this round).  State arrays are (P, S[, k]);
+    randoms are per-particle blocks drawn outside with jax.random.
+    Returns (sv, sl, st, lf, ct, sp, leaf_idx, pred).
+    """
+    P, S = sv.shape
+    n, p = X.shape
+    k = lf.shape[-1]
+    lo, hi = 2**d - 1, 2 ** (d + 1) - 1
+    G = hi - lo
+    p_grow = float(cfg.alpha * (1.0 + d) ** (-cfg.beta))
+
+    kernel = functools.partial(
+        _kernel, d=d, S=S, n=n, p=p, k=k, m=cfg.m, p_grow=p_grow,
+    )
+
+    def anc(i, take_ref):  # ancestor-indexed state blocks
+        return (take_ref[i], 0)
+
+    def anc3(i, take_ref):
+        return (take_ref[i], 0, 0)
+
+    def own(i, take_ref):  # per-particle randoms
+        return (i, 0)
+
+    def own3(i, take_ref):
+        return (i, 0, 0)
+
+    def shared(i, take_ref):
+        return (0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(P,),
+        in_specs=[
+            pl.BlockSpec((P,), lambda i, t: (0,), memory_space=pltpu.SMEM),  # frozen
+            pl.BlockSpec((1, S), anc),
+            pl.BlockSpec((1, S), anc),
+            pl.BlockSpec((1, S), anc),
+            pl.BlockSpec((1, S, k), anc3),
+            pl.BlockSpec((1, S), anc),
+            pl.BlockSpec((1, S, k), anc3),
+            pl.BlockSpec((1, n), anc),
+            pl.BlockSpec((n, p), shared),
+            pl.BlockSpec((n, k), shared),
+            pl.BlockSpec((1, p), shared),
+            pl.BlockSpec((1, p), shared),
+            pl.BlockSpec((1, k), shared),
+            pl.BlockSpec((1, G), own),
+            pl.BlockSpec((1, G), own),
+            pl.BlockSpec((1, n), own),
+            pl.BlockSpec((1, 2 * G, k), own3),
+            pl.BlockSpec((1, G), own),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, S), lambda i, t: (i, 0)),
+            pl.BlockSpec((1, S), lambda i, t: (i, 0)),
+            pl.BlockSpec((1, S), lambda i, t: (i, 0)),
+            pl.BlockSpec((1, S, k), lambda i, t: (i, 0, 0)),
+            pl.BlockSpec((1, S), lambda i, t: (i, 0)),
+            pl.BlockSpec((1, S, k), lambda i, t: (i, 0, 0)),
+            pl.BlockSpec((1, n), lambda i, t: (i, 0)),
+            pl.BlockSpec((1, n, k), lambda i, t: (i, 0, 0)),
+        ],
+    )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((P, S), jnp.int32),
+        jax.ShapeDtypeStruct((P, S), jnp.float32),
+        jax.ShapeDtypeStruct((P, S), jnp.uint32),
+        jax.ShapeDtypeStruct((P, S, k), jnp.float32),
+        jax.ShapeDtypeStruct((P, S), jnp.float32),
+        jax.ShapeDtypeStruct((P, S, k), jnp.float32),
+        jax.ShapeDtypeStruct((P, n), jnp.int32),
+        jax.ShapeDtypeStruct((P, n, k), jnp.float32),
+    ]
+
+    frozen_i32 = frozen.astype(jnp.int32)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=(jax.default_backend() == "cpu"),
+    )(take.astype(jnp.int32), frozen_i32,
+      sv, sl, st, lf, ct, sp, leaf_idx,
+      X, resid, rules.reshape(1, -1), alpha_cdf.reshape(1, -1),
+      leaf_sd.reshape(1, -1),
+      u_grow, u_var, row_gum, eps.reshape(len(take), 2 * G, k), set_bits)

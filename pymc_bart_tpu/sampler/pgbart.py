@@ -115,44 +115,44 @@ def _child_stats(leaf_idx, resid, lo: int, width: int):
     return counts, sums
 
 
-def _grow_round(key, frozen, sv, sl, st, lf, ct, sp, leaf_idx, d: int, X, rules,
-                log_alpha, leaf_sd, resid, cfg: BartConfig):
+def _grow_round(rands, frozen, sv, sl, st, lf, ct, sp, leaf_idx, d: int, X,
+                rules, alpha_cdf, leaf_sd, resid, cfg: BartConfig):
     """One depth-synchronous growth round for a single particle.
 
     frozen: bool[] — if True, replay the stored tree one level instead of
     growing (the conditional-SMC reference particle).
-    Returns updated (sv, sl, st, lf, ct, leaf_idx).
+    ``rands`` is a dict of pre-drawn random numbers for this particle and
+    round (drawn batched in _update_one_tree; also feeds the fused Pallas
+    kernel so both paths are bit-identical).
+    Returns updated (sv, sl, st, lf, ct, sp, leaf_idx).
     """
     n, p = X.shape
     lo, hi = 2**d - 1, 2 ** (d + 1) - 1
     G = hi - lo
     slots = lo + jnp.arange(G, dtype=jnp.int32)
-    k_grow, k_var, k_row, k_set, k_leaf, k_mix = jax.random.split(key, 6)
 
     node_sv = sv[lo:hi]
     is_leaf = node_sv < 0
     alive = ct[lo:hi] >= 2.0
     p_grow = cfg.alpha * (1.0 + d) ** (-cfg.beta)
-    want_grow = (
-        (jax.random.uniform(k_grow, (G,)) < p_grow) & is_leaf & alive & (~frozen)
-    )
+    want_grow = (rands["u_grow"] < p_grow) & is_leaf & alive & (~frozen)
 
-    # split variable ~ categorical(alpha_vec) via Gumbel-max
-    gum = jax.random.gumbel(k_var, (G, p))
-    var_s = jnp.argmax(log_alpha[None, :] + gum, axis=1).astype(jnp.int32)
+    # split variable ~ categorical(alpha_vec) via inverse-CDF (O(G log p),
+    # not O(G p) — matters for the p=1000 variable-selection configs)
+    u_var = rands["u_var"] * alpha_cdf[-1]
+    var_s = jnp.clip(jnp.searchsorted(alpha_cdf, u_var), 0, p - 1).astype(jnp.int32)
 
     # split value: a uniformly random row among rows in the node.  Rows
     # partition across nodes, so one Gumbel per row serves every node.
-    row_gum = jax.random.gumbel(k_row, (n,))
+    row_gum = rands["row_gum"]
     in_node = leaf_idx[:, None] == slots[None, :]
     scores = jnp.where(in_node, row_gum[:, None], -jnp.inf)
     row_sel = jnp.argmax(scores, axis=0).astype(jnp.int32)
     val_s = X[row_sel, var_s]
     # subset-rule bitmask: random categories, always including the
     # selected row's own category so the left child is non-empty.
-    rand_mask = jax.random.bits(k_set, (G,), dtype=jnp.uint32)
     own_cat = jnp.clip(jnp.nan_to_num(val_s, nan=0.0).astype(jnp.int32), 0, 31)
-    st_s = rand_mask | (jnp.uint32(1) << own_cat.astype(jnp.uint32))
+    st_s = rands["set_bits"] | (jnp.uint32(1) << own_cat.astype(jnp.uint32))
 
     # effective split parameters for routing
     varx = jnp.where(frozen, node_sv, var_s)
@@ -198,7 +198,7 @@ def _grow_round(key, frozen, sv, sl, st, lf, ct, sp, leaf_idx, d: int, X, rules,
     st = st.at[lo:hi].set(jnp.where(grow_ok, st_s, st[lo:hi]))
 
     # children: counts and leaf values ~ N(child residual mean / m, leaf_sd)
-    eps = jax.random.normal(k_leaf, (2 * G, cfg.n_outputs))
+    eps = rands["eps"]
     c_safe = jnp.maximum(ccounts, 1.0)[:, None]
     mu = csums / c_safe / cfg.m + eps * leaf_sd[None, :]
     child_slope = jnp.zeros((2 * G, cfg.n_outputs), jnp.float32)
@@ -212,7 +212,7 @@ def _grow_round(key, frozen, sv, sl, st, lf, ct, sp, leaf_idx, d: int, X, rules,
         )[:, None]
         usable = (ccounts >= 3.0) & (var_x > 1e-6)
         if cfg.response == "mix":
-            usable = usable & jax.random.bernoulli(k_mix, 0.5, (2 * G,))
+            usable = usable & (rands["u_mix"] < 0.5)
         slope_hat = jnp.where(usable[:, None], slope_hat, 0.0)
         intercept = (csums - slope_hat * s_x[:, None]) / c_safe
         mu = jnp.where(
@@ -235,6 +235,26 @@ def _grow_round(key, frozen, sv, sl, st, lf, ct, sp, leaf_idx, d: int, X, rules,
 # ---------------------------------------------------------------------------
 # Conditional SMC for one tree
 # ---------------------------------------------------------------------------
+
+
+import os as _os
+
+
+def _pallas_enabled(cfg: BartConfig, X) -> bool:
+    """Use the fused Pallas growth kernel when it covers this config.
+
+    Scope: constant leaf response, X resident in VMEM (n*p under ~2M
+    elements).  Override with PYMC_BART_TPU_PALLAS=0/1.
+    """
+    env = _os.environ.get("PYMC_BART_TPU_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    if jax.default_backend() != "tpu":
+        return False  # interpret-mode Pallas is much slower than plain JAX
+    if cfg.response != "constant":
+        return False
+    n, p = X.shape
+    return n * p <= 2_000_000
 
 
 def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
@@ -264,8 +284,7 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
     leaf_idx = jnp.zeros((P, n), jnp.int32)
     frozen = jnp.arange(P) == 0
 
-    log_alpha = jnp.log(jnp.maximum(alpha_vec, 1e-12))
-    log_alpha = log_alpha - jax.scipy.special.logsumexp(log_alpha)
+    alpha_cdf = jnp.cumsum(jnp.maximum(alpha_vec, 1e-12))
 
     def particle_pred(sv_p, lf_p, sp_p, li_p):
         return leaf_values_at(sv_p, lf_p, sp_p, X, li_p)  # (n, k)
@@ -275,16 +294,38 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
     log_w = ll
     ll_prev = ll
 
+    use_pallas = _pallas_enabled(cfg, X)
+    take = jnp.arange(P, dtype=jnp.int32)
     for d in range(D):
-        key, k_round, k_res = jax.random.split(key, 3)
-        pkeys = jax.random.split(k_round, P)
-        sv, sl, st, lf, ct, sp, leaf_idx = jax.vmap(
-            lambda pk, fz, a, b, c, e, f_, g, h_: _grow_round(
-                pk, fz, a, b, c, e, f_, g, h_, d, X, rules, log_alpha,
-                leaf_sd, resid, cfg
+        lo, hi = 2**d - 1, 2 ** (d + 1) - 1
+        G = hi - lo
+        key, k1, k2, k3, k4, k5, k6, k_res = jax.random.split(key, 8)
+        rands = {
+            "u_grow": jax.random.uniform(k1, (P, G)),
+            "u_var": jax.random.uniform(k2, (P, G)),
+            "row_gum": jax.random.gumbel(k3, (P, n)),
+            "eps": jax.random.normal(k4, (P, 2 * G, k)),
+            "set_bits": jax.random.bits(k5, (P, G), dtype=jnp.uint32),
+            "u_mix": jax.random.uniform(k6, (P, 2 * G)),
+        }
+        if use_pallas:
+            from ..ops.grow_pallas import grow_round_pallas
+
+            sv, sl, st, lf, ct, sp, leaf_idx, pred = grow_round_pallas(
+                take, frozen, sv, sl, st, lf, ct, sp, leaf_idx,
+                X, resid, rules, alpha_cdf, leaf_sd,
+                rands["u_grow"], rands["u_var"], rands["row_gum"],
+                rands["eps"], rands["set_bits"], d=d, cfg=cfg,
             )
-        )(pkeys, frozen, sv, sl, st, lf, ct, sp, leaf_idx)
-        pred = jax.vmap(particle_pred)(sv, lf, sp, leaf_idx)
+            take = jnp.arange(P, dtype=jnp.int32)
+        else:
+            sv, sl, st, lf, ct, sp, leaf_idx = jax.vmap(
+                lambda r_, fz, a, b, c, e, f_, g_, h_: _grow_round(
+                    r_, fz, a, b, c, e, f_, g_, h_, d, X, rules, alpha_cdf,
+                    leaf_sd, resid, cfg
+                )
+            )(rands, frozen, sv, sl, st, lf, ct, sp, leaf_idx)
+            pred = jax.vmap(particle_pred)(sv, lf, sp, leaf_idx)
         ll = jax.vmap(lambda f: loglik_fn(sum_noi + f, lik_params))(pred)
         log_w = log_w + ll - ll_prev
         ll_prev = ll
@@ -294,11 +335,16 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
             do_resample = effective_sample_size(probs) < 0.5 * (P - 1)
             idx = systematic_indices(k_res, probs, P - 1) + 1
             idx = jnp.where(do_resample, idx, jnp.arange(1, P, dtype=jnp.int32))
-            take = jnp.concatenate([jnp.zeros((1,), jnp.int32), idx])
-            sv, sl, st, lf, ct, sp, leaf_idx, pred = (
-                a[take] for a in (sv, sl, st, lf, ct, sp, leaf_idx, pred)
-            )
-            ll_prev = ll_prev[take]
+            anc = jnp.concatenate([jnp.zeros((1,), jnp.int32), idx])
+            if use_pallas:
+                # ancestor gather is folded into the next round's kernel
+                take = anc
+                pred = pred[anc]
+            else:
+                sv, sl, st, lf, ct, sp, leaf_idx, pred = (
+                    a[anc] for a in (sv, sl, st, lf, ct, sp, leaf_idx, pred)
+                )
+            ll_prev = ll_prev[anc]
             reset = jnp.concatenate([log_w[:1], jnp.full((P - 1,), log_mean)])
             log_w = jnp.where(do_resample, reset, log_w)
 

@@ -1,0 +1,149 @@
+"""Bit-exact equivalence of the fused Pallas growth kernel vs the pure-JAX
+reference path: both consume the same pre-drawn random numbers."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pymc_bart_tpu.config import BartConfig
+from pymc_bart_tpu.ops.grow_pallas import grow_round_pallas
+from pymc_bart_tpu.sampler.pgbart import _grow_round
+
+
+@pytest.mark.parametrize("d", [0, 1, 3])
+@pytest.mark.parametrize("k", [1, 2])
+def test_pallas_grow_matches_jax(d, k):
+    rng = np.random.default_rng(d * 10 + k)
+    P, n, p = 4, 64, 3
+    cfg = BartConfig(m=5, max_depth=4, n_outputs=k)
+    S = cfg.n_nodes
+    lo, hi = 2**d - 1, 2 ** (d + 1) - 1
+    G = hi - lo
+
+    X = jnp.asarray(rng.normal(size=(n, p)), jnp.float32)
+    resid = jnp.asarray(rng.normal(size=(n, k)), jnp.float32)
+    rules = jnp.zeros(p, jnp.int32)
+    alpha_cdf = jnp.cumsum(jnp.ones(p, jnp.float32))
+    leaf_sd = jnp.full((k,), 0.3, jnp.float32)
+
+    # build a valid random particle state: grow a few levels determministically
+    sv = np.full((P, S), -1, np.int32)
+    sl = np.zeros((P, S), np.float32)
+    st = np.zeros((P, S), np.uint32)
+    lf = rng.normal(size=(P, S, k)).astype(np.float32)
+    ct = np.zeros((P, S), np.float32)
+    sp = np.zeros((P, S, k), np.float32)
+    li = np.zeros((P, n), np.int32)
+    for pi in range(P):
+        ct[pi, 0] = n
+        # route all rows through random splits down to depth d
+        for lev in range(d):
+            llo, lhi = 2**lev - 1, 2 ** (lev + 1) - 1
+            for node in range(llo, lhi):
+                rows = np.where(li[pi] == node)[0]
+                if rows.size < 4 or rng.random() < 0.3:
+                    continue
+                var = rng.integers(0, p)
+                val = float(np.median(X[rows, var]))
+                sv[pi, node] = var
+                sl[pi, node] = val
+                goleft = np.asarray(X[rows, var]) <= val
+                if goleft.all() or (~goleft).all():
+                    sv[pi, node] = -1
+                    continue
+                li[pi, rows[goleft]] = 2 * node + 1
+                li[pi, rows[~goleft]] = 2 * node + 2
+                ct[pi, 2 * node + 1] = goleft.sum()
+                ct[pi, 2 * node + 2] = (~goleft).sum()
+
+    frozen = jnp.asarray(np.arange(P) == 0)
+    take = jnp.arange(P, dtype=jnp.int32)
+
+    rands = {
+        "u_grow": jnp.asarray(rng.random((P, G)), jnp.float32),
+        "u_var": jnp.asarray(rng.random((P, G)), jnp.float32),
+        "row_gum": jnp.asarray(rng.gumbel(size=(P, n)), jnp.float32),
+        "eps": jnp.asarray(rng.normal(size=(P, 2 * G, k)), jnp.float32),
+        "set_bits": jnp.asarray(
+            rng.integers(0, 2**32, size=(P, G), dtype=np.uint32)),
+        "u_mix": jnp.asarray(rng.random((P, 2 * G)), jnp.float32),
+    }
+
+    args = tuple(map(jnp.asarray, (sv, sl, st, lf, ct, sp, li)))
+
+    jax_out = jax.vmap(
+        lambda r_, fz, a, b, c, e, f_, g_, h_: _grow_round(
+            r_, fz, a, b, c, e, f_, g_, h_, d, X, rules, alpha_cdf,
+            leaf_sd, resid, cfg)
+    )(rands, frozen, *args)
+
+    pl_out = grow_round_pallas(
+        take, frozen, *args, X, resid, rules, alpha_cdf, leaf_sd,
+        rands["u_grow"], rands["u_var"], rands["row_gum"], rands["eps"],
+        rands["set_bits"], d=d, cfg=cfg,
+    )
+
+    names = ["split_var", "split_val", "split_set", "leaf", "count",
+             "slope", "leaf_idx"]
+    for name, a, b in zip(names, jax_out, pl_out[:7]):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype.kind == "f":
+            # identical draws; tiny fused-multiply ordering differences only
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6,
+                                       err_msg=f"mismatch in {name} d={d}")
+        else:
+            np.testing.assert_array_equal(a, b,
+                                          err_msg=f"mismatch in {name} d={d}")
+
+    # the kernel's fused prediction must equal gather-based prediction
+    from pymc_bart_tpu.ops.predict import leaf_values_at
+
+    want_pred = jax.vmap(
+        lambda svp, lfp, spp, lip: leaf_values_at(svp, lfp, spp, X, lip)
+    )(jax_out[0], jax_out[3], jax_out[5], jax_out[6])
+    np.testing.assert_allclose(
+        np.asarray(want_pred), np.asarray(pl_out[7]), rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_ancestor_take():
+    """State blocks are read through the scalar-prefetched ancestor index."""
+    rng = np.random.default_rng(0)
+    P, n, p, k, d = 3, 32, 2, 1, 0
+    cfg = BartConfig(m=3, max_depth=3, n_outputs=k)
+    S = cfg.n_nodes
+    G = 1
+
+    X = jnp.asarray(rng.normal(size=(n, p)), jnp.float32)
+    resid = jnp.asarray(rng.normal(size=(n, k)), jnp.float32)
+    rules = jnp.zeros(p, jnp.int32)
+    alpha_cdf = jnp.cumsum(jnp.ones(p, jnp.float32))
+    leaf_sd = jnp.full((k,), 0.3, jnp.float32)
+
+    sv = jnp.full((P, S), -1, jnp.int32)
+    sl = jnp.zeros((P, S), jnp.float32)
+    st = jnp.zeros((P, S), jnp.uint32)
+    lf = jnp.asarray(rng.normal(size=(P, S, k)), jnp.float32)
+    ct = jnp.zeros((P, S), jnp.float32).at[:, 0].set(n)
+    sp = jnp.zeros((P, S, k), jnp.float32)
+    li = jnp.zeros((P, n), jnp.int32)
+    frozen = jnp.asarray(np.arange(P) == 0)
+
+    rands = {
+        "u_grow": jnp.ones((P, G), jnp.float32),  # never grow
+        "u_var": jnp.asarray(rng.random((P, G)), jnp.float32),
+        "row_gum": jnp.asarray(rng.gumbel(size=(P, n)), jnp.float32),
+        "eps": jnp.zeros((P, 2 * G, k), jnp.float32),
+        "set_bits": jnp.zeros((P, G), jnp.uint32),
+    }
+
+    take = jnp.asarray([0, 2, 2], jnp.int32)  # both growers copy particle 2
+    out = grow_round_pallas(
+        take, frozen, sv, sl, st, lf, ct, sp, li, X, resid, rules,
+        alpha_cdf, leaf_sd, rands["u_grow"], rands["u_var"],
+        rands["row_gum"], rands["eps"], rands["set_bits"], d=d, cfg=cfg,
+    )
+    lf_out = np.asarray(out[3])
+    np.testing.assert_array_equal(lf_out[1], np.asarray(lf)[2])
+    np.testing.assert_array_equal(lf_out[2], np.asarray(lf)[2])
+    np.testing.assert_array_equal(lf_out[0], np.asarray(lf)[0])
