@@ -55,54 +55,63 @@ def _kernel(take_ref, frozen_ref,
     gidx = pl.program_id(0)
     frozen = frozen_ref[take_ref[gidx]] != 0
 
-    sv = sv_ref[0, :]          # (S,)
-    ct = ct_ref[0, :]
-    li = li_ref[0, :]          # (n,)
+    sv = sv_ref[0, 0, :]          # (S,)
+    ct = ct_ref[0, 0, :]
+    li = li_ref[0, 0, :]          # (n,)
 
     node_sv = jax.lax.dynamic_slice(sv, (lo,), (G,))
     node_ct = jax.lax.dynamic_slice(ct, (lo,), (G,))
     is_leaf = node_sv < 0
     alive = node_ct >= 2.0
-    want_grow = (u_grow_ref[0, :] < p_grow) & is_leaf & alive & (~frozen)
+    want_grow = (u_grow_ref[0, 0, :] < p_grow) & is_leaf & alive & (~frozen)
 
     # split variable via inverse CDF over alpha weights: (G, p) mask count
     cdf = cdf_ref[0, :]
-    u_var = u_var_ref[0, :] * cdf[p - 1]
+    u_var = u_var_ref[0, 0, :] * cdf[p - 1]
     var_s = jnp.sum((cdf[None, :] < u_var[:, None]).astype(jnp.int32), axis=1)
     var_s = jnp.clip(var_s, 0, p - 1)
 
     # uniform row per node via Gumbel-max within node membership
     slots = lo + jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)[0]
     in_node = li[:, None] == slots[None, :]
-    scores = jnp.where(in_node, row_gum_ref[0, :][:, None], -jnp.inf)
+    scores = jnp.where(in_node, row_gum_ref[0, 0, :][:, None], -jnp.inf)
     row_sel = jnp.argmax(scores, axis=0).astype(jnp.int32)
 
     # effective split params (frozen replays stored splits)
-    node_sl = jax.lax.dynamic_slice(sl_ref[0, :], (lo,), (G,))
-    node_st = jax.lax.dynamic_slice(st_ref[0, :], (lo,), (G,))
+    node_sl = jax.lax.dynamic_slice(sl_ref[0, 0, :], (lo,), (G,))
+    node_st = jax.lax.dynamic_slice(st_ref[0, 0, :], (lo,), (G,))
     varx = jnp.where(frozen, node_sv, var_s)
     varx_c = jnp.clip(varx, 0, p - 1)
 
-    # gather the split column per node and the split value per node
-    def col_body(g, carry):
-        xcol, vals = carry
-        c = varx_c[g]
-        colv = x_ref[:, pl.ds(c, 1)][:, 0]  # (n,)
-        xcol = jax.lax.dynamic_update_slice(xcol, colv[:, None], (0, g))
-        r = row_sel[g]
-        vals = jax.lax.dynamic_update_slice(
-            vals, x_ref[pl.ds(r, 1), pl.ds(c, 1)][0], (g,))
-        return xcol, vals
-
-    xcol0 = jnp.zeros((n, G), jnp.float32)
-    vals0 = jnp.zeros((G,), jnp.float32)
-    xcol, val_raw = jax.lax.fori_loop(0, G, col_body, (xcol0, vals0))
+    # gather the split column per node via a one-hot matmul on the MXU:
+    # xcol[i, g] = X[i, varx_c[g]].  NaNs are masked through the matmul and
+    # re-inserted, preserving NaN-routes-right semantics.
+    colsel = (jax.lax.broadcasted_iota(jnp.int32, (p, G), 0)
+              == varx_c[None, :]).astype(jnp.float32)
+    xraw = x_ref[:, :]
+    xnan = jnp.isnan(xraw)
+    xcol_f = jax.lax.dot_general(
+        jnp.where(xnan, 0.0, xraw), colsel,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    nan_hit = jax.lax.dot_general(
+        xnan.astype(jnp.float32), colsel,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) > 0.5
+    xcol = jnp.where(nan_hit, jnp.nan, xcol_f)
+    # split value per node: the selected row's value in the node's column
+    rowsel = jax.lax.broadcasted_iota(jnp.int32, (n, G), 0) == row_sel[None, :]
+    val_raw = jnp.sum(jnp.where(rowsel, xcol_f, 0.0), axis=0)
+    val_nan = jnp.sum(jnp.where(rowsel, nan_hit, False), axis=0) > 0
+    val_raw = jnp.where(val_nan, jnp.nan, val_raw)
 
     # subset-rule bitmask includes the selected row's own category
     own_cat = jnp.clip(
         jnp.nan_to_num(val_raw, nan=0.0).astype(jnp.int32), 0, 31
     ).astype(jnp.uint32)
-    st_s = set_bits_ref[0, :] | (jnp.uint32(1) << own_cat)
+    st_s = set_bits_ref[0, 0, :] | (jnp.uint32(1) << own_cat)
 
     valx = jnp.where(frozen, node_sl, val_raw)
     setx = jnp.where(frozen, node_st, st_s)
@@ -154,21 +163,21 @@ def _kernel(take_ref, frozen_ref,
     row_act_final = in_level & jnp.sum(
         jnp.where(row_onehot, active_final[None, :], False), axis=1) > 0
     li_new = jnp.where(row_act_final, child, li)
-    li_o[0, :] = li_new
+    li_o[0, 0, :] = li_new
 
     # commit structure
     sv_new = jax.lax.dynamic_update_slice(
         sv, jnp.where(grow_ok, var_s, node_sv), (lo,))
-    sv_o[0, :] = sv_new
-    sl_o[0, :] = jax.lax.dynamic_update_slice(
-        sl_ref[0, :], jnp.where(grow_ok, val_raw, node_sl), (lo,))
-    st_o[0, :] = jax.lax.dynamic_update_slice(
-        st_ref[0, :], jnp.where(grow_ok, st_s, node_st), (lo,))
+    sv_o[0, 0, :] = sv_new
+    sl_o[0, 0, :] = jax.lax.dynamic_update_slice(
+        sl_ref[0, 0, :], jnp.where(grow_ok, val_raw, node_sl), (lo,))
+    st_o[0, 0, :] = jax.lax.dynamic_update_slice(
+        st_ref[0, 0, :], jnp.where(grow_ok, st_s, node_st), (lo,))
 
     # children: counts + leaf values ~ N(child mean / m, leaf_sd)
     parent_ok = jnp.stack([grow_ok, grow_ok], axis=1).reshape(2 * G)
     old_cct = jax.lax.dynamic_slice(ct, (hi,), (2 * G,))
-    ct_o[0, :] = jax.lax.dynamic_update_slice(
+    ct_o[0, 0, :] = jax.lax.dynamic_update_slice(
         ct, jnp.where(parent_ok, ccounts, old_cct), (hi,))
 
     lsd = lsd_ref[0, :]  # (k,)
@@ -217,16 +226,13 @@ def grow_round_pallas(take, frozen, sv, sl, st, lf, ct, sp, leaf_idx,
         _kernel, d=d, S=S, n=n, p=p, k=k, m=cfg.m, p_grow=p_grow,
     )
 
-    def anc(i, take_ref):  # ancestor-indexed state blocks
-        return (take_ref[i], 0)
-
-    def anc3(i, take_ref):
+    # Mosaic requires the last two block dims to divide (8, 128) or equal
+    # the array dims; per-particle vectors therefore ride as (P, 1, Z)
+    # with (1, 1, Z) blocks.
+    def anc3(i, take_ref):  # ancestor-indexed state blocks
         return (take_ref[i], 0, 0)
 
-    def own(i, take_ref):  # per-particle randoms
-        return (i, 0)
-
-    def own3(i, take_ref):
+    def own3(i, take_ref):  # per-particle randoms
         return (i, 0, 0)
 
     def shared(i, take_ref):
@@ -237,55 +243,60 @@ def grow_round_pallas(take, frozen, sv, sl, st, lf, ct, sp, leaf_idx,
         grid=(P,),
         in_specs=[
             pl.BlockSpec((P,), lambda i, t: (0,), memory_space=pltpu.SMEM),  # frozen
-            pl.BlockSpec((1, S), anc),
-            pl.BlockSpec((1, S), anc),
-            pl.BlockSpec((1, S), anc),
+            pl.BlockSpec((1, 1, S), anc3),
+            pl.BlockSpec((1, 1, S), anc3),
+            pl.BlockSpec((1, 1, S), anc3),
             pl.BlockSpec((1, S, k), anc3),
-            pl.BlockSpec((1, S), anc),
+            pl.BlockSpec((1, 1, S), anc3),
             pl.BlockSpec((1, S, k), anc3),
-            pl.BlockSpec((1, n), anc),
+            pl.BlockSpec((1, 1, n), anc3),
             pl.BlockSpec((n, p), shared),
             pl.BlockSpec((n, k), shared),
             pl.BlockSpec((1, p), shared),
             pl.BlockSpec((1, p), shared),
             pl.BlockSpec((1, k), shared),
-            pl.BlockSpec((1, G), own),
-            pl.BlockSpec((1, G), own),
-            pl.BlockSpec((1, n), own),
+            pl.BlockSpec((1, 1, G), own3),
+            pl.BlockSpec((1, 1, G), own3),
+            pl.BlockSpec((1, 1, n), own3),
             pl.BlockSpec((1, 2 * G, k), own3),
-            pl.BlockSpec((1, G), own),
+            pl.BlockSpec((1, 1, G), own3),
         ],
         out_specs=[
-            pl.BlockSpec((1, S), lambda i, t: (i, 0)),
-            pl.BlockSpec((1, S), lambda i, t: (i, 0)),
-            pl.BlockSpec((1, S), lambda i, t: (i, 0)),
+            pl.BlockSpec((1, 1, S), lambda i, t: (i, 0, 0)),
+            pl.BlockSpec((1, 1, S), lambda i, t: (i, 0, 0)),
+            pl.BlockSpec((1, 1, S), lambda i, t: (i, 0, 0)),
             pl.BlockSpec((1, S, k), lambda i, t: (i, 0, 0)),
-            pl.BlockSpec((1, S), lambda i, t: (i, 0)),
+            pl.BlockSpec((1, 1, S), lambda i, t: (i, 0, 0)),
             pl.BlockSpec((1, S, k), lambda i, t: (i, 0, 0)),
-            pl.BlockSpec((1, n), lambda i, t: (i, 0)),
+            pl.BlockSpec((1, 1, n), lambda i, t: (i, 0, 0)),
             pl.BlockSpec((1, n, k), lambda i, t: (i, 0, 0)),
         ],
     )
 
     out_shape = [
-        jax.ShapeDtypeStruct((P, S), jnp.int32),
-        jax.ShapeDtypeStruct((P, S), jnp.float32),
-        jax.ShapeDtypeStruct((P, S), jnp.uint32),
+        jax.ShapeDtypeStruct((P, 1, S), jnp.int32),
+        jax.ShapeDtypeStruct((P, 1, S), jnp.float32),
+        jax.ShapeDtypeStruct((P, 1, S), jnp.uint32),
         jax.ShapeDtypeStruct((P, S, k), jnp.float32),
-        jax.ShapeDtypeStruct((P, S), jnp.float32),
+        jax.ShapeDtypeStruct((P, 1, S), jnp.float32),
         jax.ShapeDtypeStruct((P, S, k), jnp.float32),
-        jax.ShapeDtypeStruct((P, n), jnp.int32),
+        jax.ShapeDtypeStruct((P, 1, n), jnp.int32),
         jax.ShapeDtypeStruct((P, n, k), jnp.float32),
     ]
 
     frozen_i32 = frozen.astype(jnp.int32)
-    return pl.pallas_call(
+    r3 = lambda a: a.reshape(P, 1, -1)  # noqa: E731
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=(jax.default_backend() == "cpu"),
     )(take.astype(jnp.int32), frozen_i32,
-      sv, sl, st, lf, ct, sp, leaf_idx,
+      r3(sv), r3(sl), r3(st), lf, r3(ct), sp, r3(leaf_idx),
       X, resid, rules.reshape(1, -1), alpha_cdf.reshape(1, -1),
       leaf_sd.reshape(1, -1),
-      u_grow, u_var, row_gum, eps.reshape(len(take), 2 * G, k), set_bits)
+      r3(u_grow), r3(u_var), r3(row_gum), eps.reshape(P, 2 * G, k),
+      r3(set_bits))
+    sv_o, sl_o, st_o, lf_o, ct_o, sp_o, li_o, pred_o = out
+    return (sv_o.reshape(P, S), sl_o.reshape(P, S), st_o.reshape(P, S),
+            lf_o, ct_o.reshape(P, S), sp_o, li_o.reshape(P, n), pred_o)

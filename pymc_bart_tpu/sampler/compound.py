@@ -11,6 +11,7 @@ vmapped leading axis of one jitted program, shardable over a device mesh
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -23,7 +24,7 @@ from ..models.expr import Expr, Op, evaluate
 from ..models.inference_data import DataArray, Dataset, InferenceData
 from ..models.model import BARTRV, Model
 from ..utils.posterior import PosteriorForests
-from . import hmc, pgbart
+from . import hmc, nuts, pgbart
 
 
 def _expr_leaf_names(x, acc=None):
@@ -202,6 +203,7 @@ def sample(
     batch: Tuple[float, float] = (0.1, 0.1),
     num_refinements: int = 5,
     store_trees: bool = True,
+    algorithm: str = "nuts",
     max_leapfrog: int = 32,
     mesh: Optional[jax.sharding.Mesh] = None,
     progressbar: bool = False,
@@ -209,6 +211,8 @@ def sample(
     chunk_size: Optional[int] = None,
     checkpoint_dir: Optional[str] = None,
     resume: bool = False,
+    profile_dir: Optional[str] = None,
+    debug_nans: bool = False,
 ) -> InferenceData:
     """Run the compound PGBART(+HMC) sampler and return InferenceData.
 
@@ -294,10 +298,15 @@ def sample(
 
         if compiled.theta_size > 0:
             bart_vals = bart_internal_values(bart_states)
-            h, accept = hmc.hmc_step(
-                keys[-1], h, hmc_logp, (bart_vals,), tuning=tuning,
-                max_leapfrog=max_leapfrog,
-            )
+            if algorithm == "nuts":
+                h, accept = nuts.nuts_step(
+                    keys[-1], h, hmc_logp, (bart_vals,), tuning=tuning,
+                )
+            else:
+                h, accept = hmc.hmc_step(
+                    keys[-1], h, hmc_logp, (bart_vals,), tuning=tuning,
+                    max_leapfrog=max_leapfrog,
+                )
         else:
             accept = jnp.ones(())
         return (bart_states, h), (vis, accept)
@@ -400,16 +409,32 @@ def sample(
     carry = (bart_states_b, h_b)
 
     # -- draws (chunked; outputs accumulate on host) -------------------------
+    # Tracing / debug hooks (SURVEY 5.1-5.2: the reference has neither):
+    # profile_dir wraps the draw loop in a jax.profiler trace; debug_nans
+    # enables JAX's NaN checker for the duration of sampling.
+    if debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    if profile_dir is not None:
+        jax.profiler.start_trace(profile_dir)
     acc: List = []
     t = start_draw
-    while t < draws:
-        c = min(chunk_size, draws - t)
-        carry, outs = jit_draw(carry, chunk_keys(1, t, c))
-        acc.append(jax.device_get(outs))
-        t += c
-        maybe_checkpoint(carry, tune + t)
-        if progressbar:
-            print(f"draw {t}/{draws}", flush=True)
+    draw_t0 = time.perf_counter()
+    try:
+        while t < draws:
+            c = min(chunk_size, draws - t)
+            carry, outs = jit_draw(carry, chunk_keys(1, t, c))
+            acc.append(jax.device_get(outs))
+            t += c
+            maybe_checkpoint(carry, tune + t)
+            if progressbar:
+                rate = (t - start_draw) * chains / max(
+                    time.perf_counter() - draw_t0, 1e-9)
+                print(f"draw {t}/{draws} ({rate:.1f} chain-draws/s)", flush=True)
+    finally:
+        if profile_dir is not None:
+            jax.profiler.stop_trace()
+        if debug_nans:
+            jax.config.update("jax_debug_nans", False)
 
     def cat_chunks(*chunks):
         return np.concatenate([np.asarray(x) for x in chunks], axis=1)
