@@ -59,8 +59,8 @@ def _kernel(take_ref, frozen_ref,
     ct = ct_ref[0, 0, :]
     li = li_ref[0, 0, :]          # (n,)
 
-    node_sv = jax.lax.dynamic_slice(sv, (lo,), (G,))
-    node_ct = jax.lax.dynamic_slice(ct, (lo,), (G,))
+    node_sv = sv[lo:hi]
+    node_ct = ct[lo:hi]
     is_leaf = node_sv < 0
     alive = node_ct >= 2.0
     want_grow = (u_grow_ref[0, 0, :] < p_grow) & is_leaf & alive & (~frozen)
@@ -78,8 +78,8 @@ def _kernel(take_ref, frozen_ref,
     row_sel = jnp.argmax(scores, axis=0).astype(jnp.int32)
 
     # effective split params (frozen replays stored splits)
-    node_sl = jax.lax.dynamic_slice(sl_ref[0, 0, :], (lo,), (G,))
-    node_st = jax.lax.dynamic_slice(st_ref[0, 0, :], (lo,), (G,))
+    node_sl = sl_ref[0, 0, lo:hi]
+    node_st = st_ref[0, 0, lo:hi]
     varx = jnp.where(frozen, node_sv, var_s)
     varx_c = jnp.clip(varx, 0, p - 1)
 
@@ -104,7 +104,8 @@ def _kernel(take_ref, frozen_ref,
     # split value per node: the selected row's value in the node's column
     rowsel = jax.lax.broadcasted_iota(jnp.int32, (n, G), 0) == row_sel[None, :]
     val_raw = jnp.sum(jnp.where(rowsel, xcol_f, 0.0), axis=0)
-    val_nan = jnp.sum(jnp.where(rowsel, nan_hit, False), axis=0) > 0
+    val_nan = jnp.sum(jnp.where(rowsel, nan_hit.astype(jnp.float32), 0.0),
+                      axis=0) > 0.5
     val_raw = jnp.where(val_nan, jnp.nan, val_raw)
 
     # subset-rule bitmask includes the selected row's own category
@@ -115,7 +116,7 @@ def _kernel(take_ref, frozen_ref,
 
     valx = jnp.where(frozen, node_sl, val_raw)
     setx = jnp.where(frozen, node_st, st_s)
-    active = jnp.where(frozen, node_sv >= 0, want_grow)
+    active = (frozen & (node_sv >= 0)) | (~frozen & want_grow)
 
     # per-node split rule and LEFT decision matrix (n, G)
     rules = rules_ref[0, :]
@@ -129,19 +130,21 @@ def _kernel(take_ref, frozen_ref,
     onehot_rule = xcol == valx[None, :]
     cat = jnp.clip(jnp.nan_to_num(xcol, nan=0.0).astype(jnp.int32), 0, 31)
     subset = ((setx[None, :] >> cat.astype(jnp.uint32)) & jnp.uint32(1)) > 0
-    subset = jnp.where(jnp.isnan(xcol), False, subset)
-    left_mat = jnp.where(
-        rule_g[None, :] == 0, cont,
-        jnp.where(rule_g[None, :] == 1, onehot_rule, subset),
-    )
+    subset = subset & ~jnp.isnan(xcol)
+    # compose by rule with pure i1 logic (Mosaic cannot select over bools)
+    r0 = rule_g[None, :] == 0
+    r1 = rule_g[None, :] == 1
+    left_mat = (r0 & cont) | (r1 & onehot_rule) | (~r0 & ~r1 & subset)
 
     # per-row decision at the row's own node
     in_level = (li >= lo) & (li < hi)
     g_row = jnp.clip(li - lo, 0, G - 1)
     row_onehot = g_row[:, None] == jax.lax.broadcasted_iota(jnp.int32, (n, G), 1)
-    left = jnp.sum(jnp.where(row_onehot, left_mat, False), axis=1) > 0
-    row_active = in_level & jnp.sum(
-        jnp.where(row_onehot, active[None, :], False), axis=1) > 0
+    left = jnp.sum(
+        jnp.where(row_onehot, left_mat.astype(jnp.float32), 0.0), axis=1) > 0.5
+    row_active = in_level & (jnp.sum(
+        jnp.where(row_onehot, active[None, :].astype(jnp.float32), 0.0),
+        axis=1) > 0.5)
     child = 2 * li + 1 + (1 - left.astype(jnp.int32))
     tentative = jnp.where(row_active, child, li)
 
@@ -154,39 +157,56 @@ def _kernel(take_ref, frozen_ref,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    cpair = ccounts.reshape(G, 2)
-    cl = cpair[:, 0]
-    cr = cpair[:, 1]
+    # left/right child counts via separate one-hots (Mosaic has no
+    # vector reshape)
+    lslots = hi + 2 * jax.lax.broadcasted_iota(jnp.int32, (n, G), 1)
+    cl = jnp.sum((tentative[:, None] == lslots).astype(jnp.float32), axis=0)
+    cr = jnp.sum((tentative[:, None] == lslots + 1).astype(jnp.float32), axis=0)
     valid = (cl > 0) & (cr > 0)
     grow_ok = want_grow & valid
-    active_final = jnp.where(frozen, node_sv >= 0, grow_ok)
-    row_act_final = in_level & jnp.sum(
-        jnp.where(row_onehot, active_final[None, :], False), axis=1) > 0
+    active_final = (frozen & (node_sv >= 0)) | (~frozen & grow_ok)
+    row_act_final = in_level & (jnp.sum(
+        jnp.where(row_onehot, active_final[None, :].astype(jnp.float32), 0.0),
+        axis=1) > 0.5)
     li_new = jnp.where(row_act_final, child, li)
     li_o[0, 0, :] = li_new
 
-    # commit structure
-    sv_new = jax.lax.dynamic_update_slice(
-        sv, jnp.where(grow_ok, var_s, node_sv), (lo,))
-    sv_o[0, 0, :] = sv_new
-    sl_o[0, 0, :] = jax.lax.dynamic_update_slice(
-        sl_ref[0, 0, :], jnp.where(grow_ok, val_raw, node_sl), (lo,))
-    st_o[0, 0, :] = jax.lax.dynamic_update_slice(
-        st_ref[0, 0, :], jnp.where(grow_ok, st_s, node_st), (lo,))
+    # commit structure (full copy + static-slice overwrite of the level)
+    node_sv_new = jnp.where(grow_ok, var_s, node_sv)
+    sv_o[0, 0, :] = sv
+    sv_o[0, 0, lo:hi] = node_sv_new
+    sl_o[0, 0, :] = sl_ref[0, 0, :]
+    sl_o[0, 0, lo:hi] = jnp.where(grow_ok, val_raw, node_sl)
+    st_o[0, 0, :] = st_ref[0, 0, :]
+    st_o[0, 0, lo:hi] = jnp.where(grow_ok, st_s, node_st)
 
-    # children: counts + leaf values ~ N(child mean / m, leaf_sd)
-    parent_ok = jnp.stack([grow_ok, grow_ok], axis=1).reshape(2 * G)
-    old_cct = jax.lax.dynamic_slice(ct, (hi,), (2 * G,))
-    ct_o[0, 0, :] = jax.lax.dynamic_update_slice(
-        ct, jnp.where(parent_ok, ccounts, old_cct), (hi,))
+    # children: counts + leaf values ~ N(child mean / m, leaf_sd).
+    # expand (G,) -> (2G,) child mask with a selection matmul (no reshapes)
+    gf = grow_ok.astype(jnp.float32)
+    expand = (jax.lax.broadcasted_iota(jnp.int32, (G, 2 * G), 1) // 2
+              == jax.lax.broadcasted_iota(jnp.int32, (G, 2 * G), 0)
+              ).astype(jnp.float32)
+    pmask2g = jax.lax.dot_general(
+        gf[None, :], expand,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[0]  # (2G,)
+    parent_ok = pmask2g > 0.5
+    old_cct = ct[hi : hi + 2 * G]
+    ct_o[0, 0, :] = ct
+    ct_o[0, 0, hi : hi + 2 * G] = jnp.where(parent_ok, ccounts, old_cct)
 
     lsd = lsd_ref[0, :]  # (k,)
     mu = csums / jnp.maximum(ccounts, 1.0)[:, None] / m \
         + eps_ref[0, :, :] * lsd[None, :]
     lf_full = lf_ref[0, :, :]  # (S, k)
-    old_clf = jax.lax.dynamic_slice(lf_full, (hi, 0), (2 * G, k))
-    lf_new = jax.lax.dynamic_update_slice(
-        lf_full, jnp.where(parent_ok[:, None], mu, old_clf), (hi, 0))
+    old_clf = lf_full[hi : hi + 2 * G, :]
+    # float-mask blend: Mosaic cannot broadcast i1 vectors across axes
+    new_clf = pmask2g[:, None] * mu + (1.0 - pmask2g[:, None]) * old_clf
+    pieces = [lf_full[:hi, :], new_clf]
+    if hi + 2 * G < S:  # static; Mosaic rejects empty vector slices
+        pieces.append(lf_full[hi + 2 * G :, :])
+    lf_new = jnp.concatenate(pieces, axis=0)
     lf_o[0, :, :] = lf_new
     sp_o[0, :, :] = sp_ref[0, :, :]  # constant response: slopes stay zero
 

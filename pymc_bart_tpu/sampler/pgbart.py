@@ -442,14 +442,15 @@ def pgbart_step(key, state: PgbartState, X, Y_target, rules,
         iteration = iteration + 1
 
         if tuning:
-            # split-prior adaptation: count this tree's split variables
-            # (reference: alpha_vec[tree.get_split_variables()] += 1)
+            # split-prior adaptation: +1 per variable USED by this tree
+            # (reference: alpha_vec[tree.get_split_variables()] += 1 — a
+            # set, not a multiset)
             tsv = new_tree.split_var
             tcounts = (
                 (tsv[:, None] == jnp.arange(p, dtype=jnp.int32)[None, :])
                 .astype(jnp.float32).sum(axis=0)
             )
-            alpha_vec = alpha_vec + tcounts
+            alpha_vec = alpha_vec + jnp.minimum(tcounts, 1.0)
             # running leaf variance -> leaf_sd (reference CHANGELOG.md:380)
             wf_count = wf_count + 1.0
             delta = pred - wf_mean
