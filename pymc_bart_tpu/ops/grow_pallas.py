@@ -83,68 +83,86 @@ def _kernel(take_ref, frozen_ref,
     varx = jnp.where(frozen, node_sv, var_s)
     varx_c = jnp.clip(varx, 0, p - 1)
 
-    # gather the split column per node via a one-hot matmul on the MXU:
-    # xcol[i, g] = X[i, varx_c[g]].  NaNs are masked through the matmul and
-    # re-inserted, preserving NaN-routes-right semantics.
-    colsel = (jax.lax.broadcasted_iota(jnp.int32, (p, G), 0)
-              == varx_c[None, :]).astype(jnp.float32)
+    # split value per node: X[row_sel[g], varx_c[g]] via two selection
+    # matmuls on the MXU — B = rowsel^T X is (G, p), then pick the node's
+    # column.  NaNs are masked through the matmuls and re-flagged,
+    # preserving NaN-routes-right semantics.  Temporaries are kept at
+    # (G, p) / (n,) shapes to stay inside the 16MB VMEM budget.
     xraw = x_ref[:, :]
     xnan = jnp.isnan(xraw)
-    xcol_f = jax.lax.dot_general(
-        jnp.where(xnan, 0.0, xraw), colsel,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    nan_hit = jax.lax.dot_general(
-        xnan.astype(jnp.float32), colsel,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) > 0.5
-    xcol = jnp.where(nan_hit, jnp.nan, xcol_f)
-    # split value per node: the selected row's value in the node's column
-    rowsel = jax.lax.broadcasted_iota(jnp.int32, (n, G), 0) == row_sel[None, :]
-    val_raw = jnp.sum(jnp.where(rowsel, xcol_f, 0.0), axis=0)
-    val_nan = jnp.sum(jnp.where(rowsel, nan_hit.astype(jnp.float32), 0.0),
-                      axis=0) > 0.5
+    x_z = jnp.where(xnan, 0.0, xraw)
+    xnan_f = xnan.astype(jnp.float32)
+    colsel = (jax.lax.broadcasted_iota(jnp.int32, (G, p), 1)
+              == varx_c[:, None]).astype(jnp.float32)  # (G, p)
+    rowsel = (jax.lax.broadcasted_iota(jnp.int32, (n, G), 0)
+              == row_sel[None, :]).astype(jnp.float32)  # (n, G)
+    Bv = jax.lax.dot_general(  # (G, p): selected row's full X row per node
+        rowsel, x_z, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    Bn = jax.lax.dot_general(
+        rowsel, xnan_f, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    val_raw = jnp.sum(Bv * colsel, axis=1)
+    val_nan = jnp.sum(Bn * colsel, axis=1) > 0.5
     val_raw = jnp.where(val_nan, jnp.nan, val_raw)
 
-    # subset-rule bitmask includes the selected row's own category
-    own_cat = jnp.clip(
-        jnp.nan_to_num(val_raw, nan=0.0).astype(jnp.int32), 0, 31
-    ).astype(jnp.uint32)
-    st_s = set_bits_ref[0, 0, :] | (jnp.uint32(1) << own_cat)
+    # subset-rule bitmask includes the selected row's own category.
+    # All bitmask arithmetic runs on int32 bit patterns (Mosaic supports
+    # neither u32 reductions nor f32->u32 casts); exactness is preserved
+    # because only bitwise ops are applied.
+    own_cat = jnp.clip(jnp.nan_to_num(val_raw, nan=0.0).astype(jnp.int32),
+                       0, 31)
+    bits_i = jax.lax.bitcast_convert_type(set_bits_ref[0, 0, :], jnp.int32)
+    st_s_i = bits_i | (jnp.int32(1) << own_cat)
+    node_st_i = jax.lax.bitcast_convert_type(node_st, jnp.int32)
 
     valx = jnp.where(frozen, node_sl, val_raw)
-    setx = jnp.where(frozen, node_st, st_s)
+    setx_i = jnp.where(frozen, node_st_i, st_s_i)
     active = (frozen & (node_sv >= 0)) | (~frozen & want_grow)
 
-    # per-node split rule and LEFT decision matrix (n, G)
+    # per-node split rule
     rules = rules_ref[0, :]
-    rule_g = jnp.sum(
-        jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, (G, p), 1) == varx_c[:, None],
-            rules[None, :], 0),
-        axis=1,
-    )
-    cont = xcol <= valx[None, :]
-    onehot_rule = xcol == valx[None, :]
-    cat = jnp.clip(jnp.nan_to_num(xcol, nan=0.0).astype(jnp.int32), 0, 31)
-    subset = ((setx[None, :] >> cat.astype(jnp.uint32)) & jnp.uint32(1)) > 0
-    subset = subset & ~jnp.isnan(xcol)
-    # compose by rule with pure i1 logic (Mosaic cannot select over bools)
-    r0 = rule_g[None, :] == 0
-    r1 = rule_g[None, :] == 1
-    left_mat = (r0 & cont) | (r1 & onehot_rule) | (~r0 & ~r1 & subset)
+    rule_g = jnp.sum(jnp.where(colsel > 0.5, rules[None, :], 0), axis=1)
 
-    # per-row decision at the row's own node
+    # per-row split parameters at the row's own node (selection matmuls
+    # over G; exact — each row weight vector has a single 1)
     in_level = (li >= lo) & (li < hi)
     g_row = jnp.clip(li - lo, 0, G - 1)
-    row_onehot = g_row[:, None] == jax.lax.broadcasted_iota(jnp.int32, (n, G), 1)
-    left = jnp.sum(
-        jnp.where(row_onehot, left_mat.astype(jnp.float32), 0.0), axis=1) > 0.5
-    row_active = in_level & (jnp.sum(
-        jnp.where(row_onehot, active[None, :].astype(jnp.float32), 0.0),
-        axis=1) > 0.5)
+    row_onehot = (g_row[:, None]
+                  == jax.lax.broadcasted_iota(jnp.int32, (n, G), 1))
+    row_onehot_f = row_onehot.astype(jnp.float32)
+
+    def pick_row(vec_f32):  # (G,) f32 -> per-row value (n,)
+        return jax.lax.dot_general(
+            row_onehot_f, vec_f32.reshape(G, 1),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)[:, 0]
+
+    varx_row = pick_row(varx_c.astype(jnp.float32)).astype(jnp.int32)
+    valx_row = pick_row(jnp.where(jnp.isnan(valx), 0.0, valx))
+    valnan_row = pick_row(jnp.isnan(valx).astype(jnp.float32)) > 0.5
+    rule_row = pick_row(rule_g.astype(jnp.float32)).astype(jnp.int32)
+    active_row = pick_row(active.astype(jnp.float32)) > 0.5
+    # selection-sum over i32 bit patterns; exact: each row selects a
+    # single entry among zeros
+    setx_row_i = jnp.sum(jnp.where(row_onehot, setx_i[None, :], 0), axis=1)
+
+    # the row's own covariate value x[i, varx_row[i]] via (n, p) one-hot
+    colsel_row = (jax.lax.broadcasted_iota(jnp.int32, (n, p), 1)
+                  == varx_row[:, None]).astype(jnp.float32)
+    xv = jnp.sum(x_z * colsel_row, axis=1)
+    xv_nan = jnp.sum(xnan_f * colsel_row, axis=1) > 0.5
+
+    anynan = xv_nan | valnan_row
+    cont = (xv <= valx_row) & ~anynan
+    eq_rule = (xv == valx_row) & ~anynan
+    cat_row = jnp.clip(xv, 0.0, 31.0).astype(jnp.int32)
+    # arithmetic right shift: bit 0 of (x >> c) is bit c of x for c in [0,31]
+    subset = (((setx_row_i >> cat_row) & jnp.int32(1)) > 0) & ~xv_nan
+    rr0 = rule_row == 0
+    rr1 = rule_row == 1
+    left = (rr0 & cont) | (rr1 & eq_rule) | (~rr0 & ~rr1 & subset)
+    row_active = in_level & active_row
     child = 2 * li + 1 + (1 - left.astype(jnp.int32))
     tentative = jnp.where(row_active, child, li)
 
@@ -157,17 +175,22 @@ def _kernel(take_ref, frozen_ref,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    # left/right child counts via separate one-hots (Mosaic has no
-    # vector reshape)
-    lslots = hi + 2 * jax.lax.broadcasted_iota(jnp.int32, (n, G), 1)
-    cl = jnp.sum((tentative[:, None] == lslots).astype(jnp.float32), axis=0)
-    cr = jnp.sum((tentative[:, None] == lslots + 1).astype(jnp.float32), axis=0)
+    # left/right child counts via selection matmuls over ccounts (tiny;
+    # Mosaic has no vector reshape)
+    i2g = jax.lax.broadcasted_iota(jnp.int32, (2 * G, G), 0)
+    ig = jax.lax.broadcasted_iota(jnp.int32, (2 * G, G), 1)
+    sel_l = (i2g == 2 * ig).astype(jnp.float32)        # picks even entries
+    sel_r = (i2g == 2 * ig + 1).astype(jnp.float32)    # picks odd entries
+    cl = jax.lax.dot_general(
+        ccounts[None, :], sel_l, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)[0]
+    cr = jax.lax.dot_general(
+        ccounts[None, :], sel_r, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)[0]
     valid = (cl > 0) & (cr > 0)
     grow_ok = want_grow & valid
     active_final = (frozen & (node_sv >= 0)) | (~frozen & grow_ok)
-    row_act_final = in_level & (jnp.sum(
-        jnp.where(row_onehot, active_final[None, :].astype(jnp.float32), 0.0),
-        axis=1) > 0.5)
+    row_act_final = in_level & (pick_row(active_final.astype(jnp.float32)) > 0.5)
     li_new = jnp.where(row_act_final, child, li)
     li_o[0, 0, :] = li_new
 
@@ -178,7 +201,8 @@ def _kernel(take_ref, frozen_ref,
     sl_o[0, 0, :] = sl_ref[0, 0, :]
     sl_o[0, 0, lo:hi] = jnp.where(grow_ok, val_raw, node_sl)
     st_o[0, 0, :] = st_ref[0, 0, :]
-    st_o[0, 0, lo:hi] = jnp.where(grow_ok, st_s, node_st)
+    st_o[0, 0, lo:hi] = jax.lax.bitcast_convert_type(
+        jnp.where(grow_ok, st_s_i, node_st_i), jnp.uint32)
 
     # children: counts + leaf values ~ N(child mean / m, leaf_sd).
     # expand (G,) -> (2G,) child mask with a selection matmul (no reshapes)

@@ -296,17 +296,31 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
 
     use_pallas = _pallas_enabled(cfg, X)
     take = jnp.arange(P, dtype=jnp.int32)
+
+    # one batched RNG block per tree update (instead of per round): slices
+    # index by the level offset 2^d - 1
+    Gtot = 2**D - 1
+    key, k1, k2, k3, k4, k5, k6, k_res_all = jax.random.split(key, 8)
+    u_grow_all = jax.random.uniform(k1, (P, Gtot))
+    u_var_all = jax.random.uniform(k2, (P, Gtot))
+    row_gum_all = jax.random.gumbel(k3, (D, P, n))
+    eps_all = jax.random.normal(k4, (P, 2 * Gtot, k))
+    set_bits_all = jax.random.bits(k5, (P, Gtot), dtype=jnp.uint32)
+    u_mix_all = jax.random.uniform(k6, (P, 2 * Gtot))
+    res_keys = jax.random.split(k_res_all, D)
+
     for d in range(D):
         lo, hi = 2**d - 1, 2 ** (d + 1) - 1
         G = hi - lo
-        key, k1, k2, k3, k4, k5, k6, k_res = jax.random.split(key, 8)
+        off = lo
+        k_res = res_keys[d]
         rands = {
-            "u_grow": jax.random.uniform(k1, (P, G)),
-            "u_var": jax.random.uniform(k2, (P, G)),
-            "row_gum": jax.random.gumbel(k3, (P, n)),
-            "eps": jax.random.normal(k4, (P, 2 * G, k)),
-            "set_bits": jax.random.bits(k5, (P, G), dtype=jnp.uint32),
-            "u_mix": jax.random.uniform(k6, (P, 2 * G)),
+            "u_grow": u_grow_all[:, off : off + G],
+            "u_var": u_var_all[:, off : off + G],
+            "row_gum": row_gum_all[d],
+            "eps": eps_all[:, 2 * off : 2 * off + 2 * G, :],
+            "set_bits": set_bits_all[:, off : off + G],
+            "u_mix": u_mix_all[:, 2 * off : 2 * off + 2 * G],
         }
         if use_pallas:
             from ..ops.grow_pallas import grow_round_pallas
