@@ -38,6 +38,9 @@ from .models.predictive import sample_posterior_predictive
 from .sampler import PGBART, sample
 from .utils import (
     compute_variable_importance,
+    ess_bulk,
+    rhat,
+    summary,
     get_variable_inclusion,
     plot_convergence,
     plot_ice,
@@ -59,6 +62,9 @@ __all__ = [
     "plot_variable_inclusion",
     "sample_posterior_predictive",
     "vi_to_kulprit",
+    "ess_bulk",
+    "rhat",
+    "summary",
     "BART",
     "BARTRV",
     "BartConfig",

@@ -1,4 +1,5 @@
 from .codec import _decode_vi, _encode_vi, decode_vi, encode_vi
+from .diagnostics import ess_bulk, rhat, summary
 from .importance import (
     compute_variable_importance,
     get_variable_inclusion,
@@ -18,6 +19,9 @@ __all__ = [
     "encode_vi",
     "_decode_vi",
     "_encode_vi",
+    "ess_bulk",
+    "rhat",
+    "summary",
     "get_variable_inclusion",
     "hdi",
     "pearsonr2",
