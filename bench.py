@@ -1,12 +1,16 @@
 """Benchmark: posterior draws/s/chip on Friedman BART (m=50) — BASELINE.md
 config 1 and the north-star metric.
 
-Throughput counts chain-draws (chains run vmapped on the chip, the
-production configuration; PyMC equivalently runs chains on separate CPU
-cores).  The reference publishes no numbers (BASELINE.md) and CPU
-PyMC-BART cannot run in this image (no pymc), so the denominator is this
-engine's own single-chain CPU run x CPU_CHAINS (crediting the reference's
-process-per-chain parallelism on a typical 4-core setup).
+Throughput counts chain-draws (chains run vmapped on the chip; PyMC
+equivalently runs chains on separate CPU cores).  The reference publishes
+no numbers (BASELINE.md) and CPU PyMC-BART cannot run in this image (no
+pymc), so the denominator is this engine's own single-chain CPU run x
+CPU_CHAINS (crediting the reference's process-per-chain parallelism on a
+typical 4-core setup).
+
+On TPU the sampler uses the fused Pallas growth kernel (ops/grow_pallas);
+first compile of the draw program takes several minutes through the
+remote-compile path and is excluded from the timed window.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -25,10 +29,9 @@ N_ROWS = 1000
 P_COVARS = 10
 M_TREES = 50
 PARTICLES = 20
-TUNE = 50
-DRAWS = 100
+DRAWS = 200
 BATCH = (0.1, 0.1)
-TPU_CHAINS = 8
+TPU_CHAINS = 4
 CPU_CHAINS = 4  # credit assumed to the CPU baseline (process-per-chain)
 
 
@@ -45,7 +48,7 @@ def friedman(n, p, seed=0):
     return X, Y, f
 
 
-def run_bench(platform: str | None, tune: int, draws: int, chains: int):
+def run_bench(platform: str | None, draws: int, chains: int):
     import jax
 
     if platform:
@@ -69,47 +72,43 @@ def run_bench(platform: str | None, tune: int, draws: int, chains: int):
 
     params = (Yt, sigma)
 
-    def chain_steps(key, state, n_steps: int, tuning: bool):
+    def chain_steps(key, state, n_steps: int):
         def body(carry, k):
             st, _ = carry
             st, vi = pgbart.pgbart_step(
-                k, st, X, Yt, rules, cfg, pg, loglik, params, tuning)
+                k, st, X, Yt, rules, cfg, pg, loglik, params, False)
             return (st, vi), None
 
         keys = jax.random.split(key, n_steps)
         (state, vi), _ = jax.lax.scan(body, (state, jnp.zeros(P_COVARS)), keys)
         return state, vi
 
-    def many_steps(keys, states, n_steps: int, tuning: bool):
-        return jax.vmap(lambda k, s: chain_steps(k, s, n_steps, tuning))(
-            keys, states)
-
-    jit_steps = jax.jit(many_steps, static_argnames=("n_steps", "tuning"))
+    half = max(draws // 2, 1)
+    jit_steps = jax.jit(jax.vmap(lambda k, s: chain_steps(k, s, half)))
 
     state0 = pgbart.init_state(X, Yt, cfg)
     states = jax.tree.map(
         lambda a: jnp.broadcast_to(a, (chains,) + a.shape), state0)
     key = jax.random.PRNGKey(0)
-    k_tune, k_warm, k_time = jax.random.split(key, 3)
+    k_warm, k_time = jax.random.split(key)
 
-    states, _ = jit_steps(jax.random.split(k_tune, chains), states, tune, True)
-    jax.block_until_ready(states.sum_trees)
-    states, _ = jit_steps(jax.random.split(k_warm, chains), states, 2, False)
+    # warmup = compile + burn-in (same compiled program as the timed run)
+    states, _ = jit_steps(jax.random.split(k_warm, chains), states)
     jax.block_until_ready(states.sum_trees)
 
     t0 = time.perf_counter()
-    states, _ = jit_steps(jax.random.split(k_time, chains), states, draws, False)
+    states, _ = jit_steps(jax.random.split(k_time, chains), states)
     jax.block_until_ready(states.sum_trees)
     dt = time.perf_counter() - t0
 
     fhat = np.asarray(states.sum_trees).mean(axis=0)[:, 0]
     rmse = float(np.sqrt(np.mean((fhat - f_true) ** 2)))
-    return chains * draws / dt, rmse, jax.devices()[0].platform
+    return chains * half / dt, rmse, jax.devices()[0].platform
 
 
 def main():
     if os.environ.get("_BENCH_CHILD") == "cpu":
-        dps, rmse, plat = run_bench("cpu", tune=20, draws=20, chains=1)
+        dps, rmse, plat = run_bench("cpu", draws=40, chains=1)
         print(json.dumps({"cpu_draws_per_s": dps, "rmse": rmse}))
         return
 
@@ -126,10 +125,11 @@ def main():
         print(f"# cpu baseline failed: {e}", file=sys.stderr)
         cpu_dps = None
 
-    dps, rmse, plat = run_bench(None, tune=TUNE, draws=DRAWS, chains=TPU_CHAINS)
+    dps, rmse, plat = run_bench(None, draws=DRAWS, chains=TPU_CHAINS)
     vs = (dps / cpu_dps) if cpu_dps else 1.0
     print(json.dumps({
-        "metric": f"friedman_m{M_TREES}_n{N_ROWS} chain-draws/s/chip ({plat}, {TPU_CHAINS} chains)",
+        "metric": f"friedman_m{M_TREES}_n{N_ROWS} chain-draws/s/chip "
+                  f"({plat}, {TPU_CHAINS} chains, pallas)",
         "value": round(dps, 3),
         "unit": "draws/s",
         "vs_baseline": round(vs, 3),

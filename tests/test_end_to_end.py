@@ -95,6 +95,19 @@ def test_multiple_bart_variables():
     # vi stat has a leading dim per BART variable, padded to max p
     assert idata["sample_stats"]["variable_inclusion"].shape == (1, 40, 2, 3)
 
+    # reference tests/test_bart.py:200-208: VI compute and inclusion with
+    # model=/bart_var_name= disambiguation
+    vi_results = pmb.compute_variable_importance(idata, mu1, X1, model=model)
+    assert vi_results["labels"].shape == (2,)
+    assert vi_results["preds"].shape == (2, 50, 50)
+    assert vi_results["preds_all"].shape == (50, 50)
+
+    vi_tuple = pmb.get_variable_inclusion(idata, X1, model=model,
+                                          bart_var_name="mu1")
+    assert vi_tuple[0].shape == (2,)
+    assert len(vi_tuple[1]) == 2
+    assert isinstance(vi_tuple[1][0], str)
+
 
 def test_manual_pgbart_step():
     # reference test_multiple_bart_variables_manual_step (tests/test_bart.py:211-241)
