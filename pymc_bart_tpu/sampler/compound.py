@@ -350,9 +350,42 @@ def sample(
     def draw_chunk(carry, keys):
         return jax.lax.scan(draw_body, carry, keys)
 
-    jit_init = jax.jit(jax.vmap(init_chain))
-    jit_tune = jax.jit(jax.vmap(tune_chunk))
-    jit_draw = jax.jit(jax.vmap(draw_chunk))
+    if mesh is None:
+        jit_init = jax.jit(jax.vmap(init_chain))
+        jit_tune = jax.jit(jax.vmap(tune_chunk))
+        jit_draw = jax.jit(jax.vmap(draw_chunk))
+    else:
+        # Chain parallelism over the device mesh via shard_map: each device
+        # runs its local chains' full program (vmap inside); no collectives
+        # on the hot path (SURVEY 2.4).  shard_map (rather than GSPMD
+        # propagation) keeps the fused Pallas kernels strictly per-device.
+        n_mesh_chains = mesh.shape["chains"]
+        if chains % n_mesh_chains != 0:
+            raise ValueError(
+                f"chains={chains} must be a multiple of the mesh 'chains' "
+                f"axis size {n_mesh_chains}")
+        P = jax.sharding.PartitionSpec
+
+        def sharded(f):
+            cache = {}
+
+            def wrapped(*args):
+                key_ = len(cache)  # single structure per callsite
+                if "fn" not in cache:
+                    in_specs = jax.tree.map(lambda _: P("chains"), args)
+                    out_shape = jax.eval_shape(f, *args)
+                    out_specs = jax.tree.map(lambda _: P("chains"), out_shape)
+                    cache["fn"] = jax.jit(jax.shard_map(
+                        f, mesh=mesh, in_specs=in_specs,
+                        out_specs=out_specs, check_vma=False))
+                del key_
+                return cache["fn"](*args)
+
+            return wrapped
+
+        jit_init = sharded(jax.vmap(init_chain))
+        jit_tune = sharded(jax.vmap(tune_chunk))
+        jit_draw = sharded(jax.vmap(draw_chunk))
 
     chain_keys = jax.random.split(jax.random.fold_in(root_key, 0), chains)
     if mesh is not None:
