@@ -44,9 +44,9 @@ from ..config import BartConfig
 
 def _kernel(take_ref, frozen_ref,
             sv_ref, sl_ref, st_ref, lf_ref, ct_ref, sp_ref, li_ref,
-            x_ref, resid_ref, rules_ref, cdf_ref, lsd_ref,
+            x_ref, resid_ref, rules_ref, cdf_ref, lsd_ref, llw_ref,
             u_grow_ref, u_var_ref, row_gum_ref, eps_ref, set_bits_ref,
-            sv_o, sl_o, st_o, lf_o, ct_o, sp_o, li_o, pred_o,
+            sv_o, sl_o, st_o, lf_o, ct_o, sp_o, li_o, pred_o, ll_o,
             *, d: int, S: int, n: int, p: int, k: int,
             m: int, p_grow: float):
     lo, hi = 2**d - 1, 2 ** (d + 1) - 1
@@ -237,11 +237,18 @@ def _kernel(take_ref, frozen_ref,
     # per-round prediction: one-hot (n, S) x leaf (S, k) on the MXU
     soh = (li_new[:, None]
            == jax.lax.broadcasted_iota(jnp.int32, (n, S), 1)).astype(jnp.float32)
-    pred_o[0, :, :] = jax.lax.dot_general(
+    pred = jax.lax.dot_general(
         soh, lf_new,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    pred_o[0, :, :] = pred
+
+    # fused Gaussian SMC weight (constant-free log-likelihood):
+    # ll = -0.5 * sum(W * (resid - pred)^2); W == 0 when the model's
+    # likelihood is not Gaussian (output then unused by the caller)
+    diff = resid_ref[:, :] - pred
+    ll_o[0, 0] = -0.5 * jnp.sum(llw_ref[:, :] * diff * diff)
 
 
 @functools.partial(
@@ -249,7 +256,7 @@ def _kernel(take_ref, frozen_ref,
     static_argnames=("d", "cfg"),
 )
 def grow_round_pallas(take, frozen, sv, sl, st, lf, ct, sp, leaf_idx,
-                      X, resid, rules, alpha_cdf, leaf_sd,
+                      X, resid, rules, alpha_cdf, leaf_sd, ll_weight,
                       u_grow, u_var, row_gum, eps, set_bits,
                       d: int, cfg: BartConfig):
     """One fused growth round for all particles.
@@ -257,7 +264,10 @@ def grow_round_pallas(take, frozen, sv, sl, st, lf, ct, sp, leaf_idx,
     take: int32[P] ancestor index per output particle (identity when the
     SMC did not resample this round).  State arrays are (P, S[, k]);
     randoms are per-particle blocks drawn outside with jax.random.
-    Returns (sv, sl, st, lf, ct, sp, leaf_idx, pred).
+    ``ll_weight`` (n, k): per-observation Gaussian precision for the fused
+    SMC log-likelihood output (pass zeros for non-Gaussian models and use
+    the XLA likelihood on ``pred`` instead).
+    Returns (sv, sl, st, lf, ct, sp, leaf_idx, pred, ll).
     """
     P, S = sv.shape
     n, p = X.shape
@@ -299,6 +309,7 @@ def grow_round_pallas(take, frozen, sv, sl, st, lf, ct, sp, leaf_idx,
             pl.BlockSpec((1, p), shared),
             pl.BlockSpec((1, p), shared),
             pl.BlockSpec((1, k), shared),
+            pl.BlockSpec((n, k), shared),
             pl.BlockSpec((1, 1, G), own3),
             pl.BlockSpec((1, 1, G), own3),
             pl.BlockSpec((1, 1, n), own3),
@@ -314,6 +325,7 @@ def grow_round_pallas(take, frozen, sv, sl, st, lf, ct, sp, leaf_idx,
             pl.BlockSpec((1, S, k), lambda i, t: (i, 0, 0)),
             pl.BlockSpec((1, 1, n), lambda i, t: (i, 0, 0)),
             pl.BlockSpec((1, n, k), lambda i, t: (i, 0, 0)),
+            pl.BlockSpec((1, 1), lambda i, t: (i, 0)),
         ],
     )
 
@@ -326,6 +338,7 @@ def grow_round_pallas(take, frozen, sv, sl, st, lf, ct, sp, leaf_idx,
         jax.ShapeDtypeStruct((P, S, k), jnp.float32),
         jax.ShapeDtypeStruct((P, 1, n), jnp.int32),
         jax.ShapeDtypeStruct((P, n, k), jnp.float32),
+        jax.ShapeDtypeStruct((P, 1), jnp.float32),
     ]
 
     frozen_i32 = frozen.astype(jnp.int32)
@@ -338,9 +351,10 @@ def grow_round_pallas(take, frozen, sv, sl, st, lf, ct, sp, leaf_idx,
     )(take.astype(jnp.int32), frozen_i32,
       r3(sv), r3(sl), r3(st), lf, r3(ct), sp, r3(leaf_idx),
       X, resid, rules.reshape(1, -1), alpha_cdf.reshape(1, -1),
-      leaf_sd.reshape(1, -1),
+      leaf_sd.reshape(1, -1), ll_weight,
       r3(u_grow), r3(u_var), r3(row_gum), eps.reshape(P, 2 * G, k),
       r3(set_bits))
-    sv_o, sl_o, st_o, lf_o, ct_o, sp_o, li_o, pred_o = out
+    sv_o, sl_o, st_o, lf_o, ct_o, sp_o, li_o, pred_o, ll_o = out
     return (sv_o.reshape(P, S), sl_o.reshape(P, S), st_o.reshape(P, S),
-            lf_o, ct_o.reshape(P, S), sp_o, li_o.reshape(P, n), pred_o)
+            lf_o, ct_o.reshape(P, S), sp_o, li_o.reshape(P, n), pred_o,
+            ll_o[:, 0])

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import PgbartConfig
-from ..models.distributions import BernoulliDist, CategoricalDist
+from ..models.distributions import BernoulliDist, CategoricalDist, NormalDist
 from ..models.expr import Expr, Op, evaluate
 from ..models.inference_data import DataArray, Dataset, InferenceData
 from ..models.model import BARTRV, Model
@@ -39,6 +39,30 @@ def _expr_leaf_names(x, acc=None):
         if name is not None:
             acc.add(name)
     return acc
+
+
+def _gaussian_fused(model: Model, brv: BARTRV):
+    """If the model is exactly ``Normal(y | brv, sigma_expr)`` with this
+    BART variable as the (untransformed) mean, return the sigma expression
+    so the SMC weight can use the fused constant-free Gaussian
+    log-likelihood inside the Pallas growth kernel.  Otherwise None.
+    """
+    if brv.config.n_outputs != 1 or len(model.bart_rvs) != 1:
+        return None
+    normals = [o for o in model.observed_rvs if o.dist is NormalDist]
+    if len(normals) != 1 or len(model.observed_rvs) != 1:
+        return None
+    orv = normals[0]
+    if len(orv.params) < 2 or orv.params[0] is not brv:
+        return None
+    sigma_expr = orv.params[1]
+    if brv.name in _expr_leaf_names(sigma_expr):
+        return None
+    obs = np.asarray(orv.observed, np.float64).reshape(-1)
+    if obs.shape[0] != brv.X.shape[0] or not np.allclose(
+            obs, np.asarray(brv.Y, np.float64).reshape(-1)):
+        return None
+    return sigma_expr
 
 
 def _bart_growth_target(model: Model, brv: BARTRV) -> np.ndarray:
@@ -253,7 +277,8 @@ def sample(
         bart_static.append(
             dict(name=brv.name, X=X, Yt=Yt, rules=rules, cfg=brv.config,
                  pg=pg_cfgs[brv.name], loglik=_make_loglik(compiled, brv.name),
-                 split_prior=brv.split_prior)
+                 split_prior=brv.split_prior,
+                 gauss_sigma=_gaussian_fused(model, brv))
         )
 
     theta0 = compiled.initial_theta()
@@ -288,9 +313,24 @@ def sample(
             others = {bart_static[j]["name"]: bart_states[j].sum_trees
                       for j in range(n_bart) if j != i}
             lik_params = (h.theta, others)
+            gauss_w = None
+            if bs["gauss_sigma"] is not None:
+                all_barts = {bart_static[j]["name"]: bart_states[j].sum_trees
+                             for j in range(n_bart)}
+                env, _ = compiled.build_env(h.theta, all_barts)
+                sigma = jnp.asarray(evaluate(bs["gauss_sigma"], env),
+                                    jnp.float32)
+                n_i = bs["X"].shape[0]
+                k_i = bs["cfg"].n_outputs
+                gauss_w = jnp.broadcast_to(
+                    (1.0 / jnp.maximum(sigma, 1e-12) ** 2).reshape(-1, 1)
+                    if jnp.ndim(sigma) > 0 else
+                    jnp.full((1, 1), 1.0 / jnp.maximum(sigma, 1e-12) ** 2),
+                    (n_i, k_i)).astype(jnp.float32)
             new_state, vi = pgbart.pgbart_step(
                 keys[i], bart_states[i], bs["X"], bs["Yt"], bs["rules"],
                 bs["cfg"], bs["pg"], bs["loglik"], lik_params, tuning,
+                gauss_w=gauss_w,
             )
             bart_states[i] = new_state
             vis.append(vi)

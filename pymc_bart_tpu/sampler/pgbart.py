@@ -259,7 +259,7 @@ def _pallas_enabled(cfg: BartConfig, X) -> bool:
 
 def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
                      X, rules, cfg: BartConfig, pg: PgbartConfig,
-                     loglik_fn: Callable, lik_params):
+                     loglik_fn: Callable, lik_params, gauss_w=None):
     """Run the conditional SMC for a single tree; return (new tree, pred)."""
     P = pg.num_particles
     S = cfg.n_nodes
@@ -289,12 +289,19 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
     def particle_pred(sv_p, lf_p, sp_p, li_p):
         return leaf_values_at(sv_p, lf_p, sp_p, X, li_p)  # (n, k)
 
+    use_pallas = _pallas_enabled(cfg, X)
+    fused_gauss = use_pallas and (gauss_w is not None)
+
+    def eval_ll(pred_all):
+        if fused_gauss:  # constant-free Gaussian ll, matches the kernel's
+            diff = resid[None] - pred_all
+            return -0.5 * jnp.sum(gauss_w[None] * diff * diff, axis=(1, 2))
+        return jax.vmap(lambda f: loglik_fn(sum_noi + f, lik_params))(pred_all)
+
     pred = jax.vmap(particle_pred)(sv, lf, sp, leaf_idx)
-    ll = jax.vmap(lambda f: loglik_fn(sum_noi + f, lik_params))(pred)
+    ll = eval_ll(pred)
     log_w = ll
     ll_prev = ll
-
-    use_pallas = _pallas_enabled(cfg, X)
     take = jnp.arange(P, dtype=jnp.int32)
 
     # one batched RNG block per tree update (instead of per round): slices
@@ -325,14 +332,16 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
         if use_pallas:
             from ..ops.grow_pallas import grow_round_pallas
 
-            sv, sl, st, lf, ct, sp, leaf_idx, pred = grow_round_pallas(
+            llw = gauss_w if fused_gauss else jnp.zeros((n, k), jnp.float32)
+            sv, sl, st, lf, ct, sp, leaf_idx, pred, ll_k = grow_round_pallas(
                 take, frozen, sv, sl, st, lf, ct, sp, leaf_idx,
-                X, resid, rules, alpha_cdf, leaf_sd,
+                X, resid, rules, alpha_cdf, leaf_sd, llw,
                 rands["u_grow"], rands["u_var"], rands["row_gum"],
                 rands["eps"], rands["set_bits"], d=d, cfg=cfg,
             )
             take = jnp.arange(P, dtype=jnp.int32)
         else:
+            ll_k = None
             sv, sl, st, lf, ct, sp, leaf_idx = jax.vmap(
                 lambda r_, fz, a, b, c, e, f_, g_, h_: _grow_round(
                     r_, fz, a, b, c, e, f_, g_, h_, d, X, rules, alpha_cdf,
@@ -340,7 +349,7 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
                 )
             )(rands, frozen, sv, sl, st, lf, ct, sp, leaf_idx)
             pred = jax.vmap(particle_pred)(sv, lf, sp, leaf_idx)
-        ll = jax.vmap(lambda f: loglik_fn(sum_noi + f, lik_params))(pred)
+        ll = ll_k if fused_gauss else eval_ll(pred)
         log_w = log_w + ll - ll_prev
         ll_prev = ll
 
@@ -375,7 +384,11 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
     # ratio.  See PgbartConfig.num_refinements for rationale.
     if pg.num_refinements > 0:
         leaf_mask = ((sv_w < 0) & (ct_w > 0))[:, None].astype(jnp.float32)
-        ll_w = loglik_fn(sum_noi + pred_w, lik_params)
+
+        def one_ll(pred_x):
+            return eval_ll(pred_x[None])[0]
+
+        ll_w = one_ll(pred_w)
 
         def refine_body(_r, carry):
             lf_c, pred_c, ll_c, key_c = carry
@@ -383,7 +396,7 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
             eps = jax.random.normal(k_eps, lf_c.shape) * (0.3 * leaf_sd)[None, :]
             lf_p = lf_c + eps * leaf_mask
             pred_p = leaf_values_at(sv_w, lf_p, sp_w, X, li_w)
-            ll_p = loglik_fn(sum_noi + pred_p, lik_params)
+            ll_p = one_ll(pred_p)
             accept = jnp.log(jax.random.uniform(k_acc, ())) < (ll_p - ll_c)
             lf_c = jnp.where(accept, lf_p, lf_c)
             pred_c = jnp.where(accept, pred_p, pred_c)
@@ -416,7 +429,7 @@ def split_var_counts(forest: Forest, p: int):
 @partial(jax.jit, static_argnames=("cfg", "pg", "loglik_fn", "tuning"))
 def pgbart_step(key, state: PgbartState, X, Y_target, rules,
                 cfg: BartConfig, pg: PgbartConfig, loglik_fn: Callable,
-                lik_params, tuning: bool):
+                lik_params, tuning: bool, gauss_w=None):
     """One PGBART MCMC step (one chain): update a rotating batch of trees.
 
     ``loglik_fn(f, lik_params) -> scalar`` is the model log-likelihood of a
@@ -441,7 +454,7 @@ def pgbart_step(key, state: PgbartState, X, Y_target, rules,
         resid = Y_target - sum_noi
         new_tree, pred = _update_one_tree(
             k_tree, tree, sum_noi, resid, alpha_vec, leaf_sd,
-            X, rules, cfg, pg, loglik_fn, lik_params,
+            X, rules, cfg, pg, loglik_fn, lik_params, gauss_w=gauss_w,
         )
         forest = Forest(
             forest.split_var.at[jt].set(new_tree.split_var),

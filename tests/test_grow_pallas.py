@@ -78,8 +78,9 @@ def test_pallas_grow_matches_jax(d, k):
             leaf_sd, resid, cfg)
     )(rands, frozen, *args)
 
+    llw = jnp.ones((n, k), jnp.float32)  # also exercise the fused ll
     pl_out = grow_round_pallas(
-        take, frozen, *args, X, resid, rules, alpha_cdf, leaf_sd,
+        take, frozen, *args, X, resid, rules, alpha_cdf, leaf_sd, llw,
         rands["u_grow"], rands["u_var"], rands["row_gum"], rands["eps"],
         rands["set_bits"], d=d, cfg=cfg,
     )
@@ -104,6 +105,12 @@ def test_pallas_grow_matches_jax(d, k):
     )(jax_out[0], jax_out[3], jax_out[5], jax_out[6])
     np.testing.assert_allclose(
         np.asarray(want_pred), np.asarray(pl_out[7]), rtol=1e-5, atol=1e-5)
+
+    # fused Gaussian ll output matches -0.5*sum((resid - pred)^2)
+    want_ll = -0.5 * np.sum(
+        (np.asarray(resid)[None] - np.asarray(want_pred)) ** 2, axis=(1, 2))
+    np.testing.assert_allclose(np.asarray(pl_out[8]), want_ll,
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_pallas_ancestor_take():
@@ -140,7 +147,8 @@ def test_pallas_ancestor_take():
     take = jnp.asarray([0, 2, 2], jnp.int32)  # both growers copy particle 2
     out = grow_round_pallas(
         take, frozen, sv, sl, st, lf, ct, sp, li, X, resid, rules,
-        alpha_cdf, leaf_sd, rands["u_grow"], rands["u_var"],
+        alpha_cdf, leaf_sd, jnp.zeros((n, k), jnp.float32),
+        rands["u_grow"], rands["u_var"],
         rands["row_gum"], rands["eps"], rands["set_bits"], d=d, cfg=cfg,
     )
     lf_out = np.asarray(out[3])
