@@ -248,7 +248,8 @@ def _kernel(take_ref, frozen_ref,
     # ll = -0.5 * sum(W * (resid - pred)^2); W == 0 when the model's
     # likelihood is not Gaussian (output then unused by the caller)
     diff = resid_ref[:, :] - pred
-    ll_o[0, 0] = -0.5 * jnp.sum(llw_ref[:, :] * diff * diff)
+    llv = -0.5 * jnp.sum(llw_ref[:, :] * diff * diff)
+    ll_o[0, :, :] = jnp.full((1, 1), llv, jnp.float32)
 
 
 @functools.partial(
@@ -325,7 +326,7 @@ def grow_round_pallas(take, frozen, sv, sl, st, lf, ct, sp, leaf_idx,
             pl.BlockSpec((1, S, k), lambda i, t: (i, 0, 0)),
             pl.BlockSpec((1, 1, n), lambda i, t: (i, 0, 0)),
             pl.BlockSpec((1, n, k), lambda i, t: (i, 0, 0)),
-            pl.BlockSpec((1, 1), lambda i, t: (i, 0)),
+            pl.BlockSpec((1, 1, 1), lambda i, t: (i, 0, 0)),
         ],
     )
 
@@ -338,7 +339,7 @@ def grow_round_pallas(take, frozen, sv, sl, st, lf, ct, sp, leaf_idx,
         jax.ShapeDtypeStruct((P, S, k), jnp.float32),
         jax.ShapeDtypeStruct((P, 1, n), jnp.int32),
         jax.ShapeDtypeStruct((P, n, k), jnp.float32),
-        jax.ShapeDtypeStruct((P, 1), jnp.float32),
+        jax.ShapeDtypeStruct((P, 1, 1), jnp.float32),
     ]
 
     frozen_i32 = frozen.astype(jnp.int32)
@@ -357,4 +358,4 @@ def grow_round_pallas(take, frozen, sv, sl, st, lf, ct, sp, leaf_idx,
     sv_o, sl_o, st_o, lf_o, ct_o, sp_o, li_o, pred_o, ll_o = out
     return (sv_o.reshape(P, S), sl_o.reshape(P, S), st_o.reshape(P, S),
             lf_o, ct_o.reshape(P, S), sp_o, li_o.reshape(P, n), pred_o,
-            ll_o[:, 0])
+            ll_o.reshape(P))
