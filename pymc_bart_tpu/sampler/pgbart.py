@@ -350,6 +350,18 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
             )(rands, frozen, sv, sl, st, lf, ct, sp, leaf_idx)
             pred = jax.vmap(particle_pred)(sv, lf, sp, leaf_idx)
         ll = ll_k if fused_gauss else eval_ll(pred)
+
+        if use_pallas and d < D - 1:
+            # fused weight update + ESS-gated systematic resampling; the
+            # ancestor gather itself is folded into the next round's grow
+            # kernel via `take`
+            from ..ops.smc_pallas import smc_resample_pallas
+
+            u = jax.random.uniform(k_res, ())
+            log_w, take, ll_prev = smc_resample_pallas(ll, ll_prev, log_w, u)
+            pred = pred[take]
+            continue
+
         log_w = log_w + ll - ll_prev
         ll_prev = ll
 
@@ -359,14 +371,9 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
             idx = systematic_indices(k_res, probs, P - 1) + 1
             idx = jnp.where(do_resample, idx, jnp.arange(1, P, dtype=jnp.int32))
             anc = jnp.concatenate([jnp.zeros((1,), jnp.int32), idx])
-            if use_pallas:
-                # ancestor gather is folded into the next round's kernel
-                take = anc
-                pred = pred[anc]
-            else:
-                sv, sl, st, lf, ct, sp, leaf_idx, pred = (
-                    a[anc] for a in (sv, sl, st, lf, ct, sp, leaf_idx, pred)
-                )
+            sv, sl, st, lf, ct, sp, leaf_idx, pred = (
+                a[anc] for a in (sv, sl, st, lf, ct, sp, leaf_idx, pred)
+            )
             ll_prev = ll_prev[anc]
             reset = jnp.concatenate([log_w[:1], jnp.full((P - 1,), log_mean)])
             log_w = jnp.where(do_resample, reset, log_w)
