@@ -379,6 +379,29 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
             log_w = jnp.where(do_resample, reset, log_w)
 
     key, k_sel = jax.random.split(key)
+
+    if fused_gauss and k == 1:
+        # fused winner selection + Metropolis refinement (one kernel)
+        from ..ops.select_pallas import select_refine_pallas
+
+        key, k_eps, k_acc = jax.random.split(key, 3)
+        R = max(pg.num_refinements, 1)
+        if pg.num_refinements > 0:
+            eps_r = jax.random.normal(k_eps, (R, S, k)) \
+                * (0.3 * leaf_sd)[None, None, :]
+            u_acc = jax.random.uniform(k_acc, (R,))
+        else:
+            eps_r = jnp.zeros((R, S, k), jnp.float32)
+            u_acc = jnp.ones((R,), jnp.float32)
+        u_sel = jax.random.uniform(k_sel, ())
+        sv_w, sl_w, st_w, lf_w, ct_w, li_w, pred_w = select_refine_pallas(
+            sv, sl, st, lf, ct, leaf_idx, pred, log_w, resid, gauss_w,
+            eps_r, u_acc, u_sel, num_refinements=R,
+        )
+        new_tree = Forest(sv_w, sl_w, st_w, lf_w, ct_w,
+                          jnp.zeros((S, k), jnp.float32))
+        return new_tree, pred_w
+
     widx = jax.random.categorical(k_sel, log_w)
     sv_w, sl_w, st_w, lf_w, ct_w, sp_w = (
         a[widx] for a in (sv, sl, st, lf, ct, sp)

@@ -45,3 +45,51 @@ def test_smc_glue_matches_reference():
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(want_llp), np.asarray(got_llp),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_select_refine_matches_reference():
+    from pymc_bart_tpu.ops.select_pallas import select_refine_pallas
+
+    rng = np.random.default_rng(1)
+    P, S, n, k, R = 5, 15, 32, 1, 4
+    sv = jnp.asarray(rng.integers(-1, 2, size=(P, S)), jnp.int32)
+    sl = jnp.asarray(rng.normal(size=(P, S)), jnp.float32)
+    st = jnp.asarray(rng.integers(0, 2**31, size=(P, S)), jnp.uint32)
+    lf = jnp.asarray(rng.normal(size=(P, S, k)), jnp.float32)
+    ct = jnp.asarray(rng.integers(0, 5, size=(P, S)).astype(np.float32))
+    li = jnp.asarray(rng.integers(0, S, size=(P, n)), jnp.int32)
+    pred = jnp.asarray(np.take_along_axis(
+        np.asarray(lf)[:, :, 0], np.asarray(li), axis=1)[..., None],
+        jnp.float32)
+    log_w = jnp.asarray(rng.normal(size=P), jnp.float32)
+    resid = jnp.asarray(rng.normal(size=(n, k)), jnp.float32)
+    llw = jnp.ones((n, k), jnp.float32)
+    eps = jnp.asarray(rng.normal(size=(R, S, k)) * 0.1, jnp.float32)
+    u_acc = jnp.asarray(rng.random(R), jnp.float32)
+    u_sel = jnp.float32(rng.random())
+
+    got = select_refine_pallas(sv, sl, st, lf, ct, li, pred, log_w,
+                               resid, llw, eps, u_acc, u_sel,
+                               num_refinements=R)
+
+    # NumPy reference of the same algorithm
+    w = np.exp(np.asarray(log_w) - np.asarray(log_w).max())
+    cdf = np.cumsum(w)
+    widx = int(np.searchsorted(cdf, float(u_sel) * cdf[-1], side="right"))
+    widx = min(widx, P - 1)
+    lf_w = np.asarray(lf)[widx].copy()
+    pred_w = np.asarray(pred)[widx].copy()
+    mask = ((np.asarray(sv)[widx] < 0) & (np.asarray(ct)[widx] > 0))[:, None]
+    li_w = np.asarray(li)[widx]
+    ll = -0.5 * np.sum((np.asarray(resid) - pred_w) ** 2)
+    for r in range(R):
+        lf_p = lf_w + np.asarray(eps)[r] * mask
+        pred_p = lf_p[li_w]
+        ll_p = -0.5 * np.sum((np.asarray(resid) - pred_p) ** 2)
+        if np.log(float(u_acc[r])) < ll_p - ll:
+            lf_w, pred_w, ll = lf_p, pred_p, ll_p
+
+    assert int((np.asarray(got[0]) == np.asarray(sv)[widx]).all())
+    np.testing.assert_allclose(np.asarray(got[3]), lf_w, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[6]), pred_w, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got[5]), li_w)
