@@ -52,13 +52,14 @@ def _kernel(sv_ref, sl_ref, st_ref, lf_ref, ct_ref, li_ref, pred_ref,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)[0]
 
-    wselb = wsel > 0.5  # (P,)
-    sv_w = jnp.sum(jnp.where(wselb[:, None], sv_ref[:, 0, :], 0), axis=0)
+    # integer selections via int32 multiply-sum (no i1 broadcasts —
+    # Mosaic only broadcasts 32-bit types across a new minor dim)
+    wsel_i = wsel.astype(jnp.int32)[:, None]  # (P, 1)
+    sv_w = jnp.sum(sv_ref[:, 0, :] * wsel_i, axis=0)
     st_w = jnp.sum(
-        jnp.where(wselb[:, None],
-                  jax.lax.bitcast_convert_type(st_ref[:, 0, :], jnp.int32), 0),
+        jax.lax.bitcast_convert_type(st_ref[:, 0, :], jnp.int32) * wsel_i,
         axis=0)
-    li_w = jnp.sum(jnp.where(wselb[:, None], li_ref[:, 0, :], 0), axis=0)
+    li_w = jnp.sum(li_ref[:, 0, :] * wsel_i, axis=0)
     sl_w = pick2(sl_ref[:, 0, :])
     ct_w = pick2(ct_ref[:, 0, :])
     # k == 1 on this path: contract the particle axis with the one-hot

@@ -357,11 +357,17 @@ def sample(
     def collect(carry):
         bart_states, h = carry
         out = {}
+        bart_internal = {bart_static[i]["name"]: bart_states[i].sum_trees
+                         for i in range(n_bart)}
         for i, bs in enumerate(bart_static):
-            f = bart_states[i].sum_trees
-            out[bs["name"]] = compiled.bart_external(bs["name"], f)
+            out[bs["name"]] = compiled.bart_external(
+                bs["name"], bart_internal[bs["name"]])
         param_env, _ = compiled.unpack_theta(h.theta)
         out.update(param_env)
+        if model.deterministics:
+            env, _ = compiled.build_env(h.theta, bart_internal)
+            for det in model.deterministics:
+                out[det.name] = env[det.name]
         return out
 
     def tune_body(carry, k):
@@ -525,6 +531,12 @@ def sample(
         v = values[rv.name]
         dims = ["chain", "draw"] + [f"{rv.name}_dim_{i}" for i in range(v.ndim - 2)]
         posterior_vars[rv.name] = DataArray(v, dims, name=rv.name)
+    for det in model.deterministics:
+        if det.name in values:
+            v = values[det.name]
+            dims = ["chain", "draw"] + [
+                f"{det.name}_dim_{i}" for i in range(v.ndim - 2)]
+            posterior_vars[det.name] = DataArray(v, dims, name=det.name)
 
     sample_stats_vars = {
         "variable_inclusion": DataArray(
