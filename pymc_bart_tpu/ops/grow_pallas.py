@@ -54,9 +54,12 @@ def _grow_math(frozen, sv, sl, st, lf, ct, li,
                m: int, p_grow: float):
     """One particle's growth round on VMEM-resident values.
 
-    Inputs: sv/sl/ct (S,), st (S,) uint32, lf (S, k), li (n,) int32,
-    x_z/xnan_f (n, p) NaN-masked X and NaN flags, randoms per signature.
-    Returns (sv', sl', st', lf', ct', li', pred (n, k), ll scalar).
+    K-MAJOR layout: output axes ride first so the long axis is last and
+    Mosaic's (8, 128) tiling does not pad k=1 trailing dims to 128 lanes:
+    lf (k, S), resid/llw (k, n), eps (k, 2G); returns pred (k, n).
+    Other inputs: sv/sl/ct (S,), st (S,) uint32, li (n,) int32,
+    x_z/xnan_f (n, p) NaN-masked X and NaN flags.
+    Returns (sv', sl', st', lf', ct', li', pred (k, n), ll scalar).
     """
     lo, hi = 2**d - 1, 2 ** (d + 1) - 1
     G = hi - lo
@@ -161,9 +164,9 @@ def _grow_math(frozen, sv, sl, st, lf, ct, li,
     cslots = hi + jax.lax.broadcasted_iota(jnp.int32, (n, 2 * G), 1)
     oh = (tentative[:, None] == cslots).astype(jnp.float32)
     ccounts = jnp.sum(oh, axis=0)                       # (2G,)
-    csums = jax.lax.dot_general(                        # (2G, k)
-        oh, resid,
-        dimension_numbers=(((0,), (0,)), ((), ())),
+    csums = jax.lax.dot_general(                        # (k, 2G)
+        resid, oh,
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     # left/right child counts via selection matmuls over ccounts (tiny;
@@ -240,20 +243,24 @@ def _grow_math(frozen, sv, sl, st, lf, ct, li,
     ct_new = scatter_children_f32(
         ct, jnp.where(parent_ok, ccounts, ct[hi : hi + 2 * G]))
 
-    mu = csums / jnp.maximum(ccounts, 1.0)[:, None] / m + eps * lsd[None, :]
-    old_clf = lf[hi : hi + 2 * G, :]
-    new_clf = pmask2g[:, None] * mu + (1.0 - pmask2g[:, None]) * old_clf
-    pieces = [lf[:hi, :], new_clf]
-    if hi + 2 * G < S:
-        pieces.append(lf[hi + 2 * G:, :])
-    lf_new = jnp.concatenate(pieces, axis=0)
+    # children leaf values (k-major): mu (k, 2G)
+    mu = csums / jnp.maximum(ccounts, 1.0)[None, :] / m + eps * lsd[:, None]
+    old_clf = lf[:, hi : hi + 2 * G]
+    new_clf = pmask2g[None, :] * mu + (1.0 - pmask2g[None, :]) * old_clf
+    selC = (jax.lax.broadcasted_iota(jnp.int32, (2 * G, S), 1)
+            == hi + jax.lax.broadcasted_iota(jnp.int32, (2 * G, S), 0)
+            ).astype(jnp.float32)
+    full_clf = jax.lax.dot_general(
+        new_clf, selC, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (k, S)
+    lf_new = jnp.where(child_mask[None, :], full_clf, lf)
 
-    # per-round prediction: one-hot (n, S) x leaf (S, k) on the MXU
+    # per-round prediction (k, n): leaf (k, S) x one-hot (n, S)^T on MXU
     soh = (li_new[:, None]
            == jax.lax.broadcasted_iota(jnp.int32, (n, S), 1)).astype(jnp.float32)
     pred = jax.lax.dot_general(
-        soh, lf_new,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        lf_new, soh,
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -295,11 +302,11 @@ def _kernel_grid(take_ref, frozen_ref,
     sv_o[0, 0, :] = sv_new
     sl_o[0, 0, :] = sl_new
     st_o[0, 0, :] = st_new
-    lf_o[0, :, :] = lf_new
+    lf_o[0, :, :] = lf_new          # (k, S)
     ct_o[0, 0, :] = ct_new
     sp_o[0, :, :] = sp_ref[0, :, :]
     li_o[0, 0, :] = li_new
-    pred_o[0, :, :] = pred
+    pred_o[0, :, :] = pred          # (k, n)
     ll_o[0, :, :] = jnp.full((1, 1), ll, jnp.float32)
 
 
@@ -360,16 +367,16 @@ def grow_round_pallas(take, frozen, sv, sl, st, lf, ct, sp, leaf_idx,
     """One fused growth round for all particles.
 
     take: int32[P] ancestor index per output particle (identity when the
-    SMC did not resample this round).  State arrays are (P, S[, k]);
-    randoms are per-particle blocks drawn outside with jax.random.
-    ``ll_weight`` (n, k): per-observation Gaussian precision for the fused
-    SMC log-likelihood output (zeros for non-Gaussian models — use the
-    XLA likelihood on ``pred`` instead).
-    Returns (sv, sl, st, lf, ct, sp, leaf_idx, pred, ll).
+    SMC did not resample this round).  K-MAJOR layout (see _grow_math):
+    lf/sp (P, k, S), eps (P, k, 2G), resid/ll_weight (k, n); other state
+    (P, S)/(P, n).  ``ll_weight``: per-observation Gaussian precision for
+    the fused SMC log-likelihood output (zeros for non-Gaussian models —
+    use the XLA likelihood on ``pred`` instead).
+    Returns (sv, sl, st, lf (P,k,S), ct, sp, leaf_idx, pred (P,k,n), ll).
     """
     P, S = sv.shape
     n, p = X.shape
-    k = lf.shape[-1]
+    k = lf.shape[1]
     lo, hi = 2**d - 1, 2 ** (d + 1) - 1
     G = hi - lo
     p_grow = float(cfg.alpha * (1.0 + d) ** (-cfg.beta))
@@ -378,11 +385,11 @@ def grow_round_pallas(take, frozen, sv, sl, st, lf, ct, sp, leaf_idx,
         jax.ShapeDtypeStruct((P, 1, S), jnp.int32),
         jax.ShapeDtypeStruct((P, 1, S), jnp.float32),
         jax.ShapeDtypeStruct((P, 1, S), jnp.uint32),
-        jax.ShapeDtypeStruct((P, S, k), jnp.float32),
+        jax.ShapeDtypeStruct((P, k, S), jnp.float32),
         jax.ShapeDtypeStruct((P, 1, S), jnp.float32),
-        jax.ShapeDtypeStruct((P, S, k), jnp.float32),
+        jax.ShapeDtypeStruct((P, k, S), jnp.float32),
         jax.ShapeDtypeStruct((P, 1, n), jnp.int32),
-        jax.ShapeDtypeStruct((P, n, k), jnp.float32),
+        jax.ShapeDtypeStruct((P, k, n), jnp.float32),
         jax.ShapeDtypeStruct((P, 1, 1), jnp.float32),
     ]
 
@@ -392,7 +399,7 @@ def grow_round_pallas(take, frozen, sv, sl, st, lf, ct, sp, leaf_idx,
             r3(sv), r3(sl), r3(st), lf, r3(ct), sp, r3(leaf_idx),
             X, resid, rules.reshape(1, -1), alpha_cdf.reshape(1, -1),
             leaf_sd.reshape(1, -1), ll_weight,
-            r3(u_grow), r3(u_var), r3(row_gum), eps.reshape(P, 2 * G, k),
+            r3(u_grow), r3(u_var), r3(row_gum), eps,
             r3(set_bits))
 
     if single:
@@ -432,31 +439,31 @@ def grow_round_pallas(take, frozen, sv, sl, st, lf, ct, sp, leaf_idx,
                 pl.BlockSpec((1, 1, S), anc3),
                 pl.BlockSpec((1, 1, S), anc3),
                 pl.BlockSpec((1, 1, S), anc3),
-                pl.BlockSpec((1, S, k), anc3),
+                pl.BlockSpec((1, k, S), anc3),
                 pl.BlockSpec((1, 1, S), anc3),
-                pl.BlockSpec((1, S, k), anc3),
+                pl.BlockSpec((1, k, S), anc3),
                 pl.BlockSpec((1, 1, n), anc3),
                 pl.BlockSpec((n, p), shared),
-                pl.BlockSpec((n, k), shared),
+                pl.BlockSpec((k, n), shared),
                 pl.BlockSpec((1, p), shared),
                 pl.BlockSpec((1, p), shared),
                 pl.BlockSpec((1, k), shared),
-                pl.BlockSpec((n, k), shared),
+                pl.BlockSpec((k, n), shared),
                 pl.BlockSpec((1, 1, G), own3),
                 pl.BlockSpec((1, 1, G), own3),
                 pl.BlockSpec((1, 1, n), own3),
-                pl.BlockSpec((1, 2 * G, k), own3),
+                pl.BlockSpec((1, k, 2 * G), own3),
                 pl.BlockSpec((1, 1, G), own3),
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, S), lambda i, t: (i, 0, 0)),
                 pl.BlockSpec((1, 1, S), lambda i, t: (i, 0, 0)),
                 pl.BlockSpec((1, 1, S), lambda i, t: (i, 0, 0)),
-                pl.BlockSpec((1, S, k), lambda i, t: (i, 0, 0)),
+                pl.BlockSpec((1, k, S), lambda i, t: (i, 0, 0)),
                 pl.BlockSpec((1, 1, S), lambda i, t: (i, 0, 0)),
-                pl.BlockSpec((1, S, k), lambda i, t: (i, 0, 0)),
+                pl.BlockSpec((1, k, S), lambda i, t: (i, 0, 0)),
                 pl.BlockSpec((1, 1, n), lambda i, t: (i, 0, 0)),
-                pl.BlockSpec((1, n, k), lambda i, t: (i, 0, 0)),
+                pl.BlockSpec((1, k, n), lambda i, t: (i, 0, 0)),
                 pl.BlockSpec((1, 1, 1), lambda i, t: (i, 0, 0)),
             ],
         )

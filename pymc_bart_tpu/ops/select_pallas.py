@@ -8,12 +8,15 @@ kernel does all of it in one program for the fused-Gaussian likelihood
 path:
 
 * categorical winner via softmax cumsum + compare-count on log-weights,
-* winner extraction via selection matmuls (int arrays ride exact f32
-  round-trips below 2^24; the uint32 subset masks ride i32 bit patterns),
+* winner extraction via selection matmuls (int arrays ride exact int32
+  multiply-sums; the uint32 subset masks ride i32 bit patterns),
 * R refinement iterations (static unroll) with pre-drawn noise, each a
-  (n, S) one-hot x (S, k) prediction matmul + weighted SSE likelihood.
+  (n, S) one-hot x (S,) prediction matmul + weighted SSE likelihood.
 
-Constant leaf response only (slopes are zero on this path).
+K-MAJOR layout (see grow_pallas._grow_math): lf/pred carry the output
+axis first so k=1 trailing dims are not padded to 128 lanes.
+Constant leaf response, n_outputs == 1 only (callers fall back to XLA
+otherwise).
 """
 
 from __future__ import annotations
@@ -29,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 def _kernel(sv_ref, sl_ref, st_ref, lf_ref, ct_ref, li_ref, pred_ref,
             lw_ref, resid_ref, llw_ref, eps_ref, uacc_ref, usel_ref,
             sv_o, sl_o, st_o, lf_o, ct_o, li_o, pred_o,
-            *, P: int, S: int, n: int, k: int, R: int):
+            *, P: int, S: int, n: int, R: int):
     # --- categorical winner over all particles ---
     lw = lw_ref[0, :]
     mx = jnp.max(lw)
@@ -62,14 +65,13 @@ def _kernel(sv_ref, sl_ref, st_ref, lf_ref, ct_ref, li_ref, pred_ref,
     li_w = jnp.sum(li_ref[:, 0, :] * wsel_i, axis=0)
     sl_w = pick2(sl_ref[:, 0, :])
     ct_w = pick2(ct_ref[:, 0, :])
-    # k == 1 on this path: contract the particle axis with the one-hot
-    lf_w = pick2(lf_ref[:, :, 0])[:, None]    # (S, 1)
-    pred_w = pick2(pred_ref[:, :, 0])[:, None]  # (n, 1)
+    lf_w = pick2(lf_ref[:, 0, :])      # (S,)  [k-major, k == 1]
+    pred_w = pick2(pred_ref[:, 0, :])  # (n,)
 
     # --- R Metropolis refinement sweeps on the winner's leaf values ---
-    resid = resid_ref[:, :]
-    llw = llw_ref[:, :]
-    leaf_mask = ((sv_w < 0) & (ct_w > 0)).astype(jnp.float32)[:, None]
+    resid = resid_ref[0, :]  # (n,)
+    llw = llw_ref[0, :]
+    leaf_mask = ((sv_w < 0) & (ct_w > 0)).astype(jnp.float32)
     soh = (li_w[:, None]
            == jax.lax.broadcasted_iota(jnp.int32, (n, S), 1)).astype(jnp.float32)
 
@@ -79,10 +81,10 @@ def _kernel(sv_ref, sl_ref, st_ref, lf_ref, ct_ref, li_ref, pred_ref,
 
     ll_c = ll_of(pred_w)
     for r in range(R):
-        lf_p = lf_w + eps_ref[r, :, :] * leaf_mask
+        lf_p = lf_w + eps_ref[r, 0, :] * leaf_mask
         pred_p = jax.lax.dot_general(
-            soh, lf_p, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            lf_p[None, :], soh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)[0]
         ll_p = ll_of(pred_p)
         acc = jnp.log(uacc_ref[r]) < (ll_p - ll_c)
         accf = acc.astype(jnp.float32)
@@ -93,10 +95,10 @@ def _kernel(sv_ref, sl_ref, st_ref, lf_ref, ct_ref, li_ref, pred_ref,
     sv_o[0, :] = sv_w
     sl_o[0, :] = sl_w
     st_o[0, :] = jax.lax.bitcast_convert_type(st_w, jnp.uint32)
-    lf_o[:, :] = lf_w
+    lf_o[0, :] = lf_w
     ct_o[0, :] = ct_w
     li_o[0, :] = li_w
-    pred_o[:, :] = pred_w
+    pred_o[0, :] = pred_w
 
 
 @functools.partial(jax.jit, static_argnames=("num_refinements",))
@@ -105,28 +107,29 @@ def select_refine_pallas(sv, sl, st, lf, ct, leaf_idx, pred, log_w,
                          num_refinements: int):
     """Select the winner tree by categorical(log_w) and refine its leaves.
 
-    State arrays (P, S[, k]); eps (R, S, k) pre-scaled refinement noise;
-    u_acc (R,) accept uniforms; u_sel scalar selection uniform.
-    Returns (sv, sl, st, lf, ct, leaf_idx, pred) of the winner.
+    K-major: lf/pred (P, k, S)/(P, k, n); resid/ll_weight (k, n);
+    eps (R, k, S) pre-scaled refinement noise; u_acc (R,) accept uniforms;
+    u_sel scalar selection uniform.
+    Returns (sv (S,), sl, st, lf (k, S), ct, leaf_idx (n,), pred (k, n)).
     Only supports n_outputs == 1 (callers fall back to XLA otherwise).
     """
     P, S = sv.shape
     n = leaf_idx.shape[1]
-    k = lf.shape[-1]
+    k = lf.shape[1]
     if k != 1:
         raise ValueError("select_refine_pallas supports n_outputs == 1 only")
     R = num_refinements
 
     out = pl.pallas_call(
-        functools.partial(_kernel, P=P, S=S, n=n, k=k, R=R),
+        functools.partial(_kernel, P=P, S=S, n=n, R=R),
         out_shape=[
             jax.ShapeDtypeStruct((1, S), jnp.int32),
             jax.ShapeDtypeStruct((1, S), jnp.float32),
             jax.ShapeDtypeStruct((1, S), jnp.uint32),
-            jax.ShapeDtypeStruct((S, k), jnp.float32),
+            jax.ShapeDtypeStruct((1, S), jnp.float32),
             jax.ShapeDtypeStruct((1, S), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.int32),
-            jax.ShapeDtypeStruct((n, k), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
         ],
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11
         + [pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -137,5 +140,5 @@ def select_refine_pallas(sv, sl, st, lf, ct, leaf_idx, pred, log_w,
       lf, ct.reshape(P, 1, S), leaf_idx.reshape(P, 1, n), pred,
       log_w.reshape(1, P), resid, ll_weight, eps,
       u_acc.reshape(R), u_sel.reshape(1, 1))
-    return (out[0][0], out[1][0], out[2][0], out[3], out[4][0], out[5][0],
-            out[6])
+    return (out[0][0], out[1][0], out[2][0], out[3][0][None, :],
+            out[4][0], out[5][0], out[6][0][None, :])

@@ -304,6 +304,16 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
     ll_prev = ll
     take = jnp.arange(P, dtype=jnp.int32)
 
+    if use_pallas:
+        # k-major particle layout for the fused kernels (the long axis
+        # must be last so Mosaic's (8,128) tiling does not pad k=1 dims)
+        lf = lf.transpose(0, 2, 1)      # (P, k, S)
+        sp = sp.transpose(0, 2, 1)
+        pred = pred.transpose(0, 2, 1)  # (P, k, n)
+        residT = resid.T                # (k, n)
+        llwT = (gauss_w.T if fused_gauss
+                else jnp.zeros((k, n), jnp.float32))
+
     # one batched RNG block per tree update (instead of per round): slices
     # index by the level offset 2^d - 1
     Gtot = 2**D - 1
@@ -332,12 +342,12 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
         if use_pallas:
             from ..ops.grow_pallas import grow_round_pallas
 
-            llw = gauss_w if fused_gauss else jnp.zeros((n, k), jnp.float32)
             sv, sl, st, lf, ct, sp, leaf_idx, pred, ll_k = grow_round_pallas(
                 take, frozen, sv, sl, st, lf, ct, sp, leaf_idx,
-                X, resid, rules, alpha_cdf, leaf_sd, llw,
+                X, residT, rules, alpha_cdf, leaf_sd, llwT,
                 rands["u_grow"], rands["u_var"], rands["row_gum"],
-                rands["eps"], rands["set_bits"], d=d, cfg=cfg,
+                rands["eps"].transpose(0, 2, 1), rands["set_bits"],
+                d=d, cfg=cfg,
             )
             take = jnp.arange(P, dtype=jnp.int32)
         else:
@@ -349,7 +359,12 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
                 )
             )(rands, frozen, sv, sl, st, lf, ct, sp, leaf_idx)
             pred = jax.vmap(particle_pred)(sv, lf, sp, leaf_idx)
-        ll = ll_k if fused_gauss else eval_ll(pred)
+        if fused_gauss:
+            ll = ll_k
+        elif use_pallas:
+            ll = eval_ll(pred.transpose(0, 2, 1))
+        else:
+            ll = eval_ll(pred)
 
         if use_pallas and d < D - 1:
             # fused weight update + ESS-gated systematic resampling; the
@@ -387,20 +402,26 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
         key, k_eps, k_acc = jax.random.split(key, 3)
         R = max(pg.num_refinements, 1)
         if pg.num_refinements > 0:
-            eps_r = jax.random.normal(k_eps, (R, S, k)) \
-                * (0.3 * leaf_sd)[None, None, :]
+            eps_r = jax.random.normal(k_eps, (R, k, S)) \
+                * (0.3 * leaf_sd)[None, :, None]
             u_acc = jax.random.uniform(k_acc, (R,))
         else:
-            eps_r = jnp.zeros((R, S, k), jnp.float32)
+            eps_r = jnp.zeros((R, k, S), jnp.float32)
             u_acc = jnp.ones((R,), jnp.float32)
         u_sel = jax.random.uniform(k_sel, ())
-        sv_w, sl_w, st_w, lf_w, ct_w, li_w, pred_w = select_refine_pallas(
-            sv, sl, st, lf, ct, leaf_idx, pred, log_w, resid, gauss_w,
+        sv_w, sl_w, st_w, lf_wT, ct_w, li_w, pred_wT = select_refine_pallas(
+            sv, sl, st, lf, ct, leaf_idx, pred, log_w, residT, llwT,
             eps_r, u_acc, u_sel, num_refinements=R,
         )
-        new_tree = Forest(sv_w, sl_w, st_w, lf_w, ct_w,
+        new_tree = Forest(sv_w, sl_w, st_w, lf_wT.T, ct_w,
                           jnp.zeros((S, k), jnp.float32))
-        return new_tree, pred_w
+        return new_tree, pred_wT.T
+
+    if use_pallas:
+        # restore sampler layout for the XLA winner/refinement path
+        lf = lf.transpose(0, 2, 1)
+        sp = sp.transpose(0, 2, 1)
+        pred = pred.transpose(0, 2, 1)
 
     widx = jax.random.categorical(k_sel, log_w)
     sv_w, sl_w, st_w, lf_w, ct_w, sp_w = (

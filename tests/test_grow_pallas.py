@@ -78,12 +78,21 @@ def test_pallas_grow_matches_jax(d, k):
             leaf_sd, resid, cfg)
     )(rands, frozen, *args)
 
-    llw = jnp.ones((n, k), jnp.float32)  # also exercise the fused ll
+    llw = jnp.ones((k, n), jnp.float32)  # also exercise the fused ll
+    sv_a, sl_a, st_a, lf_a, ct_a, sp_a, li_a = args
     pl_out = grow_round_pallas(
-        take, frozen, *args, X, resid, rules, alpha_cdf, leaf_sd, llw,
-        rands["u_grow"], rands["u_var"], rands["row_gum"], rands["eps"],
+        take, frozen, sv_a, sl_a, st_a, lf_a.transpose(0, 2, 1), ct_a,
+        sp_a.transpose(0, 2, 1), li_a,
+        X, resid.T, rules, alpha_cdf, leaf_sd, llw,
+        rands["u_grow"], rands["u_var"], rands["row_gum"],
+        rands["eps"].transpose(0, 2, 1),
         rands["set_bits"], d=d, cfg=cfg,
     )
+    # back to sampler layout for comparison
+    pl_out = list(pl_out)
+    pl_out[3] = pl_out[3].transpose(0, 2, 1)
+    pl_out[5] = pl_out[5].transpose(0, 2, 1)
+    pl_out[7] = pl_out[7].transpose(0, 2, 1)
 
     names = ["split_var", "split_val", "split_set", "leaf", "count",
              "slope", "leaf_idx"]
@@ -146,12 +155,14 @@ def test_pallas_ancestor_take():
 
     take = jnp.asarray([0, 2, 2], jnp.int32)  # both growers copy particle 2
     out = grow_round_pallas(
-        take, frozen, sv, sl, st, lf, ct, sp, li, X, resid, rules,
-        alpha_cdf, leaf_sd, jnp.zeros((n, k), jnp.float32),
+        take, frozen, sv, sl, st, lf.transpose(0, 2, 1), ct,
+        sp.transpose(0, 2, 1), li, X, resid.T, rules,
+        alpha_cdf, leaf_sd, jnp.zeros((k, n), jnp.float32),
         rands["u_grow"], rands["u_var"],
-        rands["row_gum"], rands["eps"], rands["set_bits"], d=d, cfg=cfg,
+        rands["row_gum"], rands["eps"].transpose(0, 2, 1),
+        rands["set_bits"], d=d, cfg=cfg,
     )
-    lf_out = np.asarray(out[3])
+    lf_out = np.asarray(out[3].transpose(0, 2, 1))
     np.testing.assert_array_equal(lf_out[1], np.asarray(lf)[2])
     np.testing.assert_array_equal(lf_out[2], np.asarray(lf)[2])
     np.testing.assert_array_equal(lf_out[0], np.asarray(lf)[0])

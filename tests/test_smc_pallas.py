@@ -68,9 +68,10 @@ def test_select_refine_matches_reference():
     u_acc = jnp.asarray(rng.random(R), jnp.float32)
     u_sel = jnp.float32(rng.random())
 
-    got = select_refine_pallas(sv, sl, st, lf, ct, li, pred, log_w,
-                               resid, llw, eps, u_acc, u_sel,
-                               num_refinements=R)
+    got = select_refine_pallas(
+        sv, sl, st, lf.transpose(0, 2, 1), ct, li,
+        pred.transpose(0, 2, 1), log_w, resid.T, llw.T,
+        eps.transpose(0, 2, 1), u_acc, u_sel, num_refinements=R)
 
     # NumPy reference of the same algorithm
     w = np.exp(np.asarray(log_w) - np.asarray(log_w).max())
@@ -90,6 +91,7 @@ def test_select_refine_matches_reference():
             lf_w, pred_w, ll = lf_p, pred_p, ll_p
 
     assert int((np.asarray(got[0]) == np.asarray(sv)[widx]).all())
-    np.testing.assert_allclose(np.asarray(got[3]), lf_w, rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(got[6]), pred_w, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[3]).T, lf_w, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[6]).T, pred_w, rtol=1e-5,
+                               atol=1e-5)
     np.testing.assert_array_equal(np.asarray(got[5]), li_w)
