@@ -48,17 +48,19 @@ from ..config import BartConfig
 
 
 def _grow_math(frozen, sv, sl, st, lf, ct, li,
-               x_z, xnan_f, resid, rules, cdf, lsd, llw,
+               x_z, xnan_f, xT_z, xnanT_f, resid, rules, cdf, lsd, llw,
                u_grow, u_var, row_gum, eps, set_bits,
                *, d: int, S: int, n: int, p: int, k: int,
                m: int, p_grow: float):
     """One particle's growth round on VMEM-resident values.
 
-    K-MAJOR layout: output axes ride first so the long axis is last and
-    Mosaic's (8, 128) tiling does not pad k=1 trailing dims to 128 lanes:
-    lf (k, S), resid/llw (k, n), eps (k, 2G); returns pred (k, n).
-    Other inputs: sv/sl/ct (S,), st (S,) uint32, li (n,) int32,
-    x_z/xnan_f (n, p) NaN-masked X and NaN flags.
+    LANE-MAJOR-ROWS layout: the n-row axis rides last everywhere so the
+    (8, 128) tiling packs rows into lanes and small node/output axes into
+    sublanes (a (n, G<=32) matrix would otherwise pad G to 128 lanes —
+    4-16x wasted VPU work): lf (k, S), resid/llw (k, n), eps (k, 2G),
+    node-by-row masks (G, n); returns pred (k, n).  ``xT_z``/``xnanT_f``
+    are the (p, n) transposes, precomputed once outside.
+    Other inputs: sv/sl/ct (S,), st (S,) uint32, li (n,) int32.
     Returns (sv', sl', st', lf', ct', li', pred (k, n), ll scalar).
     """
     lo, hi = 2**d - 1, 2 ** (d + 1) - 1
@@ -77,9 +79,9 @@ def _grow_math(frozen, sv, sl, st, lf, ct, li,
 
     # uniform row per node via Gumbel-max within node membership
     slots = lo + jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)[0]
-    in_node = li[:, None] == slots[None, :]
-    scores = jnp.where(in_node, row_gum[:, None], -jnp.inf)
-    row_sel = jnp.argmax(scores, axis=0).astype(jnp.int32)
+    in_node = slots[:, None] == li[None, :]              # (G, n)
+    scores = jnp.where(in_node, row_gum[None, :], -jnp.inf)
+    row_sel = jnp.argmax(scores, axis=1).astype(jnp.int32)
 
     # effective split params (frozen replays stored splits)
     node_sl = sl[lo:hi]
@@ -92,13 +94,13 @@ def _grow_math(frozen, sv, sl, st, lf, ct, li,
     # column.  NaNs are masked through the matmuls and re-flagged.
     colsel = (jax.lax.broadcasted_iota(jnp.int32, (G, p), 1)
               == varx_c[:, None]).astype(jnp.float32)  # (G, p)
-    rowsel = (jax.lax.broadcasted_iota(jnp.int32, (n, G), 0)
-              == row_sel[None, :]).astype(jnp.float32)  # (n, G)
+    rowsel = (jax.lax.broadcasted_iota(jnp.int32, (G, n), 1)
+              == row_sel[:, None]).astype(jnp.float32)  # (G, n)
     Bv = jax.lax.dot_general(
-        rowsel, x_z, dimension_numbers=(((0,), (0,)), ((), ())),
+        rowsel, x_z, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     Bn = jax.lax.dot_general(
-        rowsel, xnan_f, dimension_numbers=(((0,), (0,)), ((), ())),
+        rowsel, xnan_f, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     val_raw = jnp.sum(Bv * colsel, axis=1)
     val_nan = jnp.sum(Bn * colsel, axis=1) > 0.5
@@ -124,28 +126,33 @@ def _grow_math(frozen, sv, sl, st, lf, ct, li,
     # over G; exact — each row weight vector has a single 1)
     in_level = (li >= lo) & (li < hi)
     g_row = jnp.clip(li - lo, 0, G - 1)
-    row_onehot = (g_row[:, None]
-                  == jax.lax.broadcasted_iota(jnp.int32, (n, G), 1))
+    row_onehot = (jax.lax.broadcasted_iota(jnp.int32, (G, n), 0)
+                  == g_row[None, :])                     # (G, n)
     row_onehot_f = row_onehot.astype(jnp.float32)
 
     def pick_row(vec_f32):  # (G,) f32 -> per-row value (n,)
         return jax.lax.dot_general(
-            row_onehot_f, vec_f32.reshape(G, 1),
+            vec_f32.reshape(1, G), row_onehot_f,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)[:, 0]
+            preferred_element_type=jnp.float32)[0]
 
     varx_row = pick_row(varx_c.astype(jnp.float32)).astype(jnp.int32)
     valx_row = pick_row(jnp.where(jnp.isnan(valx), 0.0, valx))
     valnan_row = pick_row(jnp.isnan(valx).astype(jnp.float32)) > 0.5
     rule_row = pick_row(rule_g.astype(jnp.float32)).astype(jnp.int32)
     active_row = pick_row(active.astype(jnp.float32)) > 0.5
-    setx_row_i = jnp.sum(jnp.where(row_onehot, setx_i[None, :], 0), axis=1)
+    setx_row_i = jnp.sum(jnp.where(row_onehot, setx_i[:, None], 0), axis=0)
 
-    # the row's own covariate value x[i, varx_row[i]] via (n, p) one-hot
-    colsel_row = (jax.lax.broadcasted_iota(jnp.int32, (n, p), 1)
-                  == varx_row[:, None]).astype(jnp.float32)
-    xv = jnp.sum(x_z * colsel_row, axis=1)
-    xv_nan = jnp.sum(xnan_f * colsel_row, axis=1) > 0.5
+    # the row's own covariate value x[i, varx_row[i]]: per-node columns
+    # xcol (G, n) = colsel @ X^T on the MXU, then pick by the row's node
+    xcol = jax.lax.dot_general(
+        colsel, xT_z, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (G, n)
+    xcol_nan = jax.lax.dot_general(
+        colsel, xnanT_f, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    xv = jnp.sum(jnp.where(row_onehot, xcol, 0.0), axis=0)
+    xv_nan = jnp.sum(jnp.where(row_onehot, xcol_nan, 0.0), axis=0) > 0.5
 
     anynan = xv_nan | valnan_row
     cont = (xv <= valx_row) & ~anynan
@@ -160,13 +167,13 @@ def _grow_math(frozen, sv, sl, st, lf, ct, li,
     child = 2 * li + 1 + (1 - left.astype(jnp.int32))
     tentative = jnp.where(row_active, child, li)
 
-    # child sufficient statistics on the MXU: one-hot (n, 2G)
-    cslots = hi + jax.lax.broadcasted_iota(jnp.int32, (n, 2 * G), 1)
-    oh = (tentative[:, None] == cslots).astype(jnp.float32)
-    ccounts = jnp.sum(oh, axis=0)                       # (2G,)
+    # child sufficient statistics on the MXU: one-hot (2G, n)
+    cslots = hi + jax.lax.broadcasted_iota(jnp.int32, (2 * G, n), 0)
+    oh = (cslots == tentative[None, :]).astype(jnp.float32)
+    ccounts = jnp.sum(oh, axis=1)                       # (2G,)
     csums = jax.lax.dot_general(                        # (k, 2G)
         resid, oh,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     # left/right child counts via selection matmuls over ccounts (tiny;
@@ -255,12 +262,12 @@ def _grow_math(frozen, sv, sl, st, lf, ct, li,
         preferred_element_type=jnp.float32)  # (k, S)
     lf_new = jnp.where(child_mask[None, :], full_clf, lf)
 
-    # per-round prediction (k, n): leaf (k, S) x one-hot (n, S)^T on MXU
-    soh = (li_new[:, None]
-           == jax.lax.broadcasted_iota(jnp.int32, (n, S), 1)).astype(jnp.float32)
+    # per-round prediction (k, n): leaf (k, S) x one-hot (S, n) on MXU
+    soh = (jax.lax.broadcasted_iota(jnp.int32, (S, n), 0)
+           == li_new[None, :]).astype(jnp.float32)
     pred = jax.lax.dot_general(
         lf_new, soh,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -279,7 +286,8 @@ def _grow_math(frozen, sv, sl, st, lf, ct, li,
 
 def _kernel_grid(take_ref, frozen_ref,
                  sv_ref, sl_ref, st_ref, lf_ref, ct_ref, sp_ref, li_ref,
-                 x_ref, resid_ref, rules_ref, cdf_ref, lsd_ref, llw_ref,
+                 x_ref, xt_ref, resid_ref, rules_ref, cdf_ref, lsd_ref,
+                 llw_ref,
                  u_grow_ref, u_var_ref, row_gum_ref, eps_ref, set_bits_ref,
                  sv_o, sl_o, st_o, lf_o, ct_o, sp_o, li_o, pred_o, ll_o,
                  *, d: int, S: int, n: int, p: int, k: int,
@@ -288,10 +296,13 @@ def _kernel_grid(take_ref, frozen_ref,
     frozen = frozen_ref[take_ref[gidx]] != 0
     xraw = x_ref[:, :]
     xnan = jnp.isnan(xraw)
+    xtraw = xt_ref[:, :]
+    xtnan = jnp.isnan(xtraw)
     out = _grow_math(
         frozen, sv_ref[0, 0, :], sl_ref[0, 0, :], st_ref[0, 0, :],
         lf_ref[0, :, :], ct_ref[0, 0, :], li_ref[0, 0, :],
         jnp.where(xnan, 0.0, xraw), xnan.astype(jnp.float32),
+        jnp.where(xtnan, 0.0, xtraw), xtnan.astype(jnp.float32),
         resid_ref[:, :], rules_ref[0, :], cdf_ref[0, :], lsd_ref[0, :],
         llw_ref[:, :],
         u_grow_ref[0, 0, :], u_var_ref[0, 0, :], row_gum_ref[0, 0, :],
@@ -318,7 +329,8 @@ def _kernel_grid(take_ref, frozen_ref,
 
 def _kernel_single(take_ref, frozen_ref,
                    sv_ref, sl_ref, st_ref, lf_ref, ct_ref, sp_ref, li_ref,
-                   x_ref, resid_ref, rules_ref, cdf_ref, lsd_ref, llw_ref,
+                   x_ref, xt_ref, resid_ref, rules_ref, cdf_ref, lsd_ref,
+                   llw_ref,
                    u_grow_ref, u_var_ref, row_gum_ref, eps_ref, set_bits_ref,
                    sv_o, sl_o, st_o, lf_o, ct_o, sp_o, li_o, pred_o, ll_o,
                    *, P: int, d: int, S: int, n: int, p: int, k: int,
@@ -327,6 +339,10 @@ def _kernel_single(take_ref, frozen_ref,
     xnan = jnp.isnan(xraw)
     x_z = jnp.where(xnan, 0.0, xraw)
     xnan_f = xnan.astype(jnp.float32)
+    xtraw = xt_ref[:, :]
+    xtnan = jnp.isnan(xtraw)
+    xT_z = jnp.where(xtnan, 0.0, xtraw)
+    xnanT_f = xtnan.astype(jnp.float32)
     resid = resid_ref[:, :]
     rules = rules_ref[0, :]
     cdf = cdf_ref[0, :]
@@ -339,7 +355,7 @@ def _kernel_single(take_ref, frozen_ref,
         out = _grow_math(
             frozen, sv_ref[anc, 0, :], sl_ref[anc, 0, :], st_ref[anc, 0, :],
             lf_ref[anc, :, :], ct_ref[anc, 0, :], li_ref[anc, 0, :],
-            x_z, xnan_f, resid, rules, cdf, lsd, llw,
+            x_z, xnan_f, xT_z, xnanT_f, resid, rules, cdf, lsd, llw,
             u_grow_ref[pi, 0, :], u_var_ref[pi, 0, :], row_gum_ref[pi, 0, :],
             eps_ref[pi, :, :], set_bits_ref[pi, 0, :],
             d=d, S=S, n=n, p=p, k=k, m=m, p_grow=p_grow,
@@ -397,7 +413,7 @@ def grow_round_pallas(take, frozen, sv, sl, st, lf, ct, sp, leaf_idx,
     r3 = lambda a: a.reshape(P, 1, -1)  # noqa: E731
     args = (take.astype(jnp.int32), frozen_i32,
             r3(sv), r3(sl), r3(st), lf, r3(ct), sp, r3(leaf_idx),
-            X, resid, rules.reshape(1, -1), alpha_cdf.reshape(1, -1),
+            X, X.T, resid, rules.reshape(1, -1), alpha_cdf.reshape(1, -1),
             leaf_sd.reshape(1, -1), ll_weight,
             r3(u_grow), r3(u_var), r3(row_gum), eps,
             r3(set_bits))
@@ -412,7 +428,7 @@ def grow_round_pallas(take, frozen, sv, sl, st, lf, ct, sp, leaf_idx,
             out_shape=out_shape,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                       pl.BlockSpec(memory_space=pltpu.SMEM)]
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 18,
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 19,
             out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
             interpret=(jax.default_backend() == "cpu"),
         )(*args)
@@ -444,6 +460,7 @@ def grow_round_pallas(take, frozen, sv, sl, st, lf, ct, sp, leaf_idx,
                 pl.BlockSpec((1, k, S), anc3),
                 pl.BlockSpec((1, 1, n), anc3),
                 pl.BlockSpec((n, p), shared),
+                pl.BlockSpec((p, n), shared),
                 pl.BlockSpec((k, n), shared),
                 pl.BlockSpec((1, p), shared),
                 pl.BlockSpec((1, p), shared),

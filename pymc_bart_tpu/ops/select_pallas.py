@@ -72,8 +72,8 @@ def _kernel(sv_ref, sl_ref, st_ref, lf_ref, ct_ref, li_ref, pred_ref,
     resid = resid_ref[0, :]  # (n,)
     llw = llw_ref[0, :]
     leaf_mask = ((sv_w < 0) & (ct_w > 0)).astype(jnp.float32)
-    soh = (li_w[:, None]
-           == jax.lax.broadcasted_iota(jnp.int32, (n, S), 1)).astype(jnp.float32)
+    soh = (jax.lax.broadcasted_iota(jnp.int32, (S, n), 0)
+           == li_w[None, :]).astype(jnp.float32)  # (S, n): rows in lanes
 
     def ll_of(pred_x):
         diff = resid - pred_x
@@ -83,7 +83,7 @@ def _kernel(sv_ref, sl_ref, st_ref, lf_ref, ct_ref, li_ref, pred_ref,
     for r in range(R):
         lf_p = lf_w + eps_ref[r, 0, :] * leaf_mask
         pred_p = jax.lax.dot_general(
-            lf_p[None, :], soh, dimension_numbers=(((1,), (1,)), ((), ())),
+            lf_p[None, :], soh, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)[0]
         ll_p = ll_of(pred_p)
         acc = jnp.log(uacc_ref[r]) < (ll_p - ll_c)
