@@ -65,6 +65,9 @@ def run_bench(platform: str | None, draws: int, chains: int):
     Yt = jnp.asarray(Y_np)[:, None]
     rules = jnp.zeros(P_COVARS, jnp.int32)
     sigma = jnp.float32(1.0)
+    # per-observation Gaussian precision: activates the fused-likelihood
+    # SMC kernels and the whole-draw megakernel (ops/draw_pallas) on TPU
+    gauss_w = jnp.full((N_ROWS, 1), 1.0 / sigma**2, jnp.float32)
 
     def loglik(f, params):
         y, s = params

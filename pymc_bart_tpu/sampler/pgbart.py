@@ -477,6 +477,22 @@ def split_var_counts(forest: Forest, p: int):
     return onehot.astype(jnp.float32).sum(axis=0)
 
 
+def _megakernel_enabled(cfg: BartConfig, pg: PgbartConfig, X, gauss_w) -> bool:
+    """Use the whole-draw megakernel (ops/draw_pallas) when it covers this
+    config: fused-Gaussian likelihood, constant response, single output.
+    Override with PYMC_BART_TPU_MEGAKERNEL=0/1."""
+    from ..ops.draw_pallas import fused_draw_supported
+
+    if not fused_draw_supported(cfg, pg, X, gauss_w):
+        return False
+    env = _os.environ.get("PYMC_BART_TPU_MEGAKERNEL")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    if jax.default_backend() != "tpu":
+        return False  # interpret-mode Pallas is much slower than plain JAX
+    return _pallas_enabled(cfg, X)
+
+
 @partial(jax.jit, static_argnames=("cfg", "pg", "loglik_fn", "tuning"))
 def pgbart_step(key, state: PgbartState, X, Y_target, rules,
                 cfg: BartConfig, pg: PgbartConfig, loglik_fn: Callable,
@@ -490,6 +506,11 @@ def pgbart_step(key, state: PgbartState, X, Y_target, rules,
 
     Returns (new_state, variable_inclusion_counts float32[p]).
     """
+    if _megakernel_enabled(cfg, pg, X, gauss_w):
+        from ..ops.draw_pallas import pgbart_step_fused
+
+        return pgbart_step_fused(key, state, X, Y_target, rules, cfg, pg,
+                                 gauss_w, tuning)
     m = cfg.m
     B = pg.batch_size(m, tuning)
     n, p = X.shape
