@@ -79,7 +79,8 @@ def run_bench(platform: str | None, draws: int, chains: int):
         def body(carry, k):
             st, _ = carry
             st, vi = pgbart.pgbart_step(
-                k, st, X, Yt, rules, cfg, pg, loglik, params, False)
+                k, st, X, Yt, rules, cfg, pg, loglik, params, False,
+                gauss_w=gauss_w)
             return (st, vi), None
 
         keys = jax.random.split(key, n_steps)

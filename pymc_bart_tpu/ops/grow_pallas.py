@@ -293,7 +293,7 @@ def _kernel_grid(take_ref, frozen_ref,
                  *, d: int, S: int, n: int, p: int, k: int,
                  m: int, p_grow: float):
     gidx = pl.program_id(0)
-    frozen = frozen_ref[take_ref[gidx]] != 0
+    frozen = frozen_ref[0, take_ref[0, gidx]] != 0
     xraw = x_ref[:, :]
     xnan = jnp.isnan(xraw)
     xtraw = xt_ref[:, :]
@@ -350,8 +350,8 @@ def _kernel_single(take_ref, frozen_ref,
     llw = llw_ref[:, :]
 
     def body(pi, _):
-        anc = take_ref[pi]
-        frozen = frozen_ref[anc] != 0
+        anc = take_ref[0, pi]
+        frozen = frozen_ref[0, anc] != 0
         out = _grow_math(
             frozen, sv_ref[anc, 0, :], sl_ref[anc, 0, :], st_ref[anc, 0, :],
             lf_ref[anc, :, :], ct_ref[anc, 0, :], li_ref[anc, 0, :],
@@ -409,9 +409,12 @@ def grow_round_pallas(take, frozen, sv, sl, st, lf, ct, sp, leaf_idx,
         jax.ShapeDtypeStruct((P, 1, 1), jnp.float32),
     ]
 
-    frozen_i32 = frozen.astype(jnp.int32)
+    # 2-D (1, P) SMEM scalars: 1-D SMEM inputs fail Mosaic lowering when a
+    # chain-vmap adds a batch dim (block (Squeezed(), P) over array (C, P));
+    # with a leading 1 the per-program block equals the array's trailing dims.
+    frozen_i32 = frozen.astype(jnp.int32).reshape(1, P)
     r3 = lambda a: a.reshape(P, 1, -1)  # noqa: E731
-    args = (take.astype(jnp.int32), frozen_i32,
+    args = (take.astype(jnp.int32).reshape(1, P), frozen_i32,
             r3(sv), r3(sl), r3(st), lf, r3(ct), sp, r3(leaf_idx),
             X, X.T, resid, rules.reshape(1, -1), alpha_cdf.reshape(1, -1),
             leaf_sd.reshape(1, -1), ll_weight,
@@ -438,7 +441,7 @@ def grow_round_pallas(take, frozen, sv, sl, st, lf, ct, sp, leaf_idx,
         )
 
         def anc3(i, take_ref):  # ancestor-indexed state blocks
-            return (take_ref[i], 0, 0)
+            return (take_ref[0, i], 0, 0)
 
         def own3(i, take_ref):  # per-particle randoms
             return (i, 0, 0)
@@ -450,7 +453,7 @@ def grow_round_pallas(take, frozen, sv, sl, st, lf, ct, sp, leaf_idx,
             num_scalar_prefetch=1,
             grid=(P,),
             in_specs=[
-                pl.BlockSpec((P,), lambda i, t: (0,),
+                pl.BlockSpec((1, P), lambda i, t: (0, 0),
                              memory_space=pltpu.SMEM),  # frozen
                 pl.BlockSpec((1, 1, S), anc3),
                 pl.BlockSpec((1, 1, S), anc3),

@@ -86,7 +86,7 @@ def _kernel(sv_ref, sl_ref, st_ref, lf_ref, ct_ref, li_ref, pred_ref,
             lf_p[None, :], soh, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)[0]
         ll_p = ll_of(pred_p)
-        acc = jnp.log(uacc_ref[r]) < (ll_p - ll_c)
+        acc = jnp.log(uacc_ref[0, r]) < (ll_p - ll_c)
         accf = acc.astype(jnp.float32)
         lf_w = accf * lf_p + (1.0 - accf) * lf_w
         pred_w = accf * pred_p + (1.0 - accf) * pred_w
@@ -139,6 +139,6 @@ def select_refine_pallas(sv, sl, st, lf, ct, leaf_idx, pred, log_w,
     )(sv.reshape(P, 1, S), sl.reshape(P, 1, S), st.reshape(P, 1, S),
       lf, ct.reshape(P, 1, S), leaf_idx.reshape(P, 1, n), pred,
       log_w.reshape(1, P), resid, ll_weight, eps,
-      u_acc.reshape(R), u_sel.reshape(1, 1))
+      u_acc.reshape(1, R), u_sel.reshape(1, 1))
     return (out[0][0], out[1][0], out[2][0], out[3][0][None, :],
             out[4][0], out[5][0], out[6][0][None, :])

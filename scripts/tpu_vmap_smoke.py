@@ -1,0 +1,62 @@
+"""TPU smoke: vmapped-chain PGBART step on both Pallas paths.
+
+Validates that (a) the whole-draw megakernel and (b) the per-round
+grow/SMC/select kernel path compile and execute under a chain vmap on the
+real chip — the configuration bench.py times.  Tiny shapes for fast
+compiles.  Run: python scripts/tpu_vmap_smoke.py [mega|rounds|both]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+mode = sys.argv[1] if len(sys.argv) > 1 else "both"
+
+import jax
+import jax.numpy as jnp
+
+from pymc_bart_tpu.config import BartConfig, PgbartConfig
+from pymc_bart_tpu.sampler import pgbart
+
+n, p, chains = 256, 5, 2
+rng = np.random.default_rng(0)
+X = jnp.asarray(rng.uniform(size=(n, p)).astype(np.float32))
+Y = jnp.asarray(rng.normal(size=(n, 1)).astype(np.float32))
+rules = jnp.zeros(p, jnp.int32)
+cfg = BartConfig(m=4, max_depth=4)
+pg = PgbartConfig(num_particles=8, batch=(0.5, 0.5))
+gauss_w = jnp.ones((n, 1), jnp.float32)
+
+
+def loglik(f, params):
+    (y,) = params
+    return jnp.sum(-0.5 * (y - f) ** 2)
+
+
+def run(tag, gw):
+    t0 = time.perf_counter()
+
+    def step(key, st):
+        return pgbart.pgbart_step(key, st, X, Y, rules, cfg, pg,
+                                  loglik, (Y,), False, gauss_w=gw)
+
+    st0 = pgbart.init_state(X, Y, cfg)
+    sts = jax.tree.map(lambda a: jnp.broadcast_to(a, (chains,) + a.shape), st0)
+    keys = jax.random.split(jax.random.PRNGKey(0), chains)
+    sts, vi = jax.jit(jax.vmap(step))(keys, sts)
+    jax.block_until_ready(sts.sum_trees)
+    print(f"{tag}: OK compile+run {time.perf_counter() - t0:.1f}s "
+          f"sum_trees finite={bool(jnp.isfinite(sts.sum_trees).all())} "
+          f"vi={np.asarray(vi).sum(1)}")
+
+
+print("backend:", jax.default_backend(), jax.devices())
+if mode in ("mega", "both"):
+    run("megakernel(vmap)", gauss_w)
+if mode in ("rounds", "both"):
+    os.environ["PYMC_BART_TPU_MEGAKERNEL"] = "0"
+    run("grow-rounds(vmap)", gauss_w)
