@@ -4,6 +4,11 @@ reference's categorical-hawks pattern, docs/examples.rst).
 Run: python examples/classification.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 
 import pymc_bart_tpu as pmb

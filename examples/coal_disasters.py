@@ -8,6 +8,11 @@ discretized into bins; the BART function models the log rate.
 Run: python examples/coal_disasters.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 
 import pymc_bart_tpu as pmb

@@ -5,6 +5,11 @@ docs/examples.rst).
 Run: python examples/heteroscedastic.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 
 import pymc_bart_tpu as pmb

@@ -4,6 +4,11 @@ pm.Data/set_data contract; tests/test_bart.py:84-104).
 Run: python examples/out_of_sample.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 
 import pymc_bart_tpu as pmb
