@@ -343,7 +343,7 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
             from ..ops.grow_pallas import grow_round_pallas
 
             sv, sl, st, lf, ct, sp, leaf_idx, pred, ll_k = grow_round_pallas(
-                take, frozen, sv, sl, st, lf, ct, sp, leaf_idx,
+                take, frozen, sv, sl, st, lf, ct, sp, leaf_idx, pred,
                 X, residT, rules, alpha_cdf, leaf_sd, llwT,
                 rands["u_grow"], rands["u_var"], rands["row_gum"],
                 rands["eps"].transpose(0, 2, 1), rands["set_bits"],
@@ -374,7 +374,8 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
 
             u = jax.random.uniform(k_res, ())
             log_w, take, ll_prev = smc_resample_pallas(ll, ll_prev, log_w, u)
-            pred = pred[take]
+            # pred is NOT gathered here: the next round's grow kernel
+            # reads it (like all particle state) through ``take``
             continue
 
         log_w = log_w + ll - ll_prev
@@ -409,9 +410,10 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
             eps_r = jnp.zeros((R, k, S), jnp.float32)
             u_acc = jnp.ones((R,), jnp.float32)
         u_sel = jax.random.uniform(k_sel, ())
+        half_inv_var = 0.5 / (leaf_sd[0] * leaf_sd[0])
         sv_w, sl_w, st_w, lf_wT, ct_w, li_w, pred_wT = select_refine_pallas(
             sv, sl, st, lf, ct, leaf_idx, pred, log_w, residT, llwT,
-            eps_r, u_acc, u_sel, num_refinements=R,
+            eps_r, u_acc, u_sel, half_inv_var, num_refinements=R, m=cfg.m,
         )
         new_tree = Forest(sv_w, sl_w, st_w, lf_wT.T, ct_w,
                           jnp.zeros((S, k), jnp.float32))
@@ -431,15 +433,31 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
     pred_w = pred[widx]
 
     # Metropolis refinement of the winner's leaf values (structure fixed):
-    # random-walk proposals on the active leaves, accepted by likelihood
-    # ratio.  See PgbartConfig.num_refinements for rationale.
+    # random-walk proposals on the active leaves, accepted by the
+    # likelihood ratio TIMES the leaf-value prior ratio.  The growth
+    # proposal draws leaf values from N(leaf residual mean / m, leaf_sd)
+    # and weights particles by likelihood only, so the sampler's implied
+    # per-leaf prior — matching the reference sampler's (SURVEY 2.3
+    # step 2) — is exactly that proposal density.  Using the same density
+    # here keeps the SMC update and the refinement targeting ONE
+    # posterior (tested against the analytic conjugate posterior in
+    # tests/test_statistical.py); a likelihood-only ratio would drift
+    # leaves toward the MLE with systematically less shrinkage.
     if pg.num_refinements > 0:
         leaf_mask = ((sv_w < 0) & (ct_w > 0))[:, None].astype(jnp.float32)
+        half_inv_var = 0.5 / (leaf_sd * leaf_sd)  # (k,)
+        # per-leaf residual means (structure is fixed during refinement)
+        leaf_rsum = jax.ops.segment_sum(resid, li_w, num_segments=S)
+        prior_center = leaf_rsum / jnp.maximum(ct_w, 1.0)[:, None] / cfg.m
 
         def one_ll(pred_x):
             return eval_ll(pred_x[None])[0]
 
-        ll_w = one_ll(pred_w)
+        def log_prior(lf_x):
+            dev = lf_x - prior_center
+            return -jnp.sum(half_inv_var[None, :] * leaf_mask * dev * dev)
+
+        ll_w = one_ll(pred_w) + log_prior(lf_w)
 
         def refine_body(_r, carry):
             lf_c, pred_c, ll_c, key_c = carry
@@ -447,7 +465,7 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
             eps = jax.random.normal(k_eps, lf_c.shape) * (0.3 * leaf_sd)[None, :]
             lf_p = lf_c + eps * leaf_mask
             pred_p = leaf_values_at(sv_w, lf_p, sp_w, X, li_w)
-            ll_p = one_ll(pred_p)
+            ll_p = one_ll(pred_p) + log_prior(lf_p)
             accept = jnp.log(jax.random.uniform(k_acc, ())) < (ll_p - ll_c)
             lf_c = jnp.where(accept, lf_p, lf_c)
             pred_c = jnp.where(accept, pred_p, pred_c)
@@ -541,15 +559,19 @@ def pgbart_step(key, state: PgbartState, X, Y_target, rules,
         iteration = iteration + 1
 
         if tuning:
-            # split-prior adaptation: +1 per variable USED by this tree
-            # (reference: alpha_vec[tree.get_split_variables()] += 1 — a
-            # set, not a multiset)
+            # Dirichlet-style split-prior adaptation: +1 per SPLIT NODE
+            # using the variable (reference:
+            # ``for index in tree.get_split_variables():
+            #       alpha_vec[index] += 1`` — one entry per internal
+            # node, a multiset).  Full counts concentrate the proposal
+            # on signal covariates much faster than a per-tree cap at
+            # high p (BASELINE config 5).
             tsv = new_tree.split_var
             tcounts = (
                 (tsv[:, None] == jnp.arange(p, dtype=jnp.int32)[None, :])
                 .astype(jnp.float32).sum(axis=0)
             )
-            alpha_vec = alpha_vec + jnp.minimum(tcounts, 1.0)
+            alpha_vec = alpha_vec + tcounts
             # running leaf variance -> leaf_sd (reference CHANGELOG.md:380)
             wf_count = wf_count + 1.0
             delta = pred - wf_mean

@@ -67,11 +67,14 @@ def test_select_refine_matches_reference():
     eps = jnp.asarray(rng.normal(size=(R, S, k)) * 0.1, jnp.float32)
     u_acc = jnp.asarray(rng.random(R), jnp.float32)
     u_sel = jnp.float32(rng.random())
+    leaf_sd = 1.3
+    hiv = 0.5 / leaf_sd**2
 
     got = select_refine_pallas(
         sv, sl, st, lf.transpose(0, 2, 1), ct, li,
         pred.transpose(0, 2, 1), log_w, resid.T, llw.T,
-        eps.transpose(0, 2, 1), u_acc, u_sel, num_refinements=R)
+        eps.transpose(0, 2, 1), u_acc, u_sel, jnp.float32(hiv),
+        num_refinements=R)
 
     # NumPy reference of the same algorithm
     w = np.exp(np.asarray(log_w) - np.asarray(log_w).max())
@@ -82,11 +85,17 @@ def test_select_refine_matches_reference():
     pred_w = np.asarray(pred)[widx].copy()
     mask = ((np.asarray(sv)[widx] < 0) & (np.asarray(ct)[widx] > 0))[:, None]
     li_w = np.asarray(li)[widx]
-    ll = -0.5 * np.sum((np.asarray(resid) - pred_w) ** 2)
+
+    def post(lf_x, pred_x):
+        # likelihood + Normal(0, leaf_sd) leaf prior on active leaves
+        return (-0.5 * np.sum((np.asarray(resid) - pred_x) ** 2)
+                - hiv * np.sum(mask * lf_x * lf_x))
+
+    ll = post(lf_w, pred_w)
     for r in range(R):
         lf_p = lf_w + np.asarray(eps)[r] * mask
         pred_p = lf_p[li_w]
-        ll_p = -0.5 * np.sum((np.asarray(resid) - pred_p) ** 2)
+        ll_p = post(lf_p, pred_p)
         if np.log(float(u_acc[r])) < ll_p - ll:
             lf_w, pred_w, ll = lf_p, pred_p, ll_p
 
