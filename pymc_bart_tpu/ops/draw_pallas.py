@@ -76,7 +76,7 @@ def _draw_kernel(
     wfm_o, wfm2_o, scal_o,
     # VMEM scratch
     svA, svB, slA, slB, stA, stB, lfA, lfB, ctA, ctB, liA, liB,
-    predS, llS,
+    predA, predB, llS,
     *, B: int, P: int, D: int, S: int, n: int, p: int, m: int, R: int,
     alpha: float, beta: float, tuning: bool,
 ):
@@ -158,7 +158,7 @@ def _draw_kernel(
             ctA[pi, 0, :] = cf * t_ct + (1.0 - cf) * fresh_ct
             liA[pi, 0, :] = jnp.zeros((n,), jnp.int32)
             v0 = cf * t_lf00 + (1.0 - cf) * root_mu
-            predS[pi, :, :] = jnp.full((1, n), v0, jnp.float32)
+            predA[pi, :, :] = jnp.full((1, n), v0, jnp.float32)
             ll0 = -0.5 * jnp.sum(llw2 * (resid - v0) * (resid - v0))
             llS[pi, :, :] = jnp.full((1, 1), ll0, jnp.float32)
             return 0
@@ -173,23 +173,26 @@ def _draw_kernel(
         res_cdf = None
         res_u = None
 
-        bufs = ((svA, slA, stA, lfA, ctA, liA), (svB, slB, stB, lfB, ctB, liB))
+        bufs = ((svA, slA, stA, lfA, ctA, liA, predA),
+                (svB, slB, stB, lfB, ctB, liB, predB))
 
         for d in range(D):
             src = bufs[d % 2]
             dst = bufs[(d + 1) % 2]
-            s_sv, s_sl, s_st, s_lf, s_ct, s_li = src
-            d_sv, d_sl, d_st, d_lf, d_ct, d_li = dst
+            s_sv, s_sl, s_st, s_lf, s_ct, s_li, s_pred = src
+            d_sv, d_sl, d_st, d_lf, d_ct, d_li, d_pred = dst
             lo, hi = 2 ** d - 1, 2 ** (d + 1) - 1
             G = hi - lo
             p_grow = float(alpha * (1.0 + d) ** (-beta))
             rd_do, rd_cdf, rd_u = res_do, res_cdf, res_u
 
-            def grow_body(pi, _, rd_do=rd_do, rd_cdf=rd_cdf, rd_u=rd_u,
-                          d=d, lo=lo, G=G, p_grow=p_grow,
-                          s_sv=s_sv, s_sl=s_sl, s_st=s_st, s_lf=s_lf,
-                          s_ct=s_ct, s_li=s_li, d_sv=d_sv, d_sl=d_sl,
-                          d_st=d_st, d_lf=d_lf, d_ct=d_ct, d_li=d_li):
+            def grow_one(pi, rd_do=rd_do, rd_cdf=rd_cdf, rd_u=rd_u,
+                         d=d, lo=lo, G=G, p_grow=p_grow,
+                         s_sv=s_sv, s_sl=s_sl, s_st=s_st, s_lf=s_lf,
+                         s_ct=s_ct, s_li=s_li, s_pred=s_pred,
+                         d_sv=d_sv, d_sl=d_sl,
+                         d_st=d_st, d_lf=d_lf, d_ct=d_ct, d_li=d_li,
+                         d_pred=d_pred):
                 if rd_do is None:
                     anc = pi
                 else:
@@ -203,6 +206,7 @@ def _draw_kernel(
                 out = _grow_math(
                     frozen, s_sv[anc, 0, :], s_sl[anc, 0, :], s_st[anc, 0, :],
                     s_lf[anc, :, :], s_ct[anc, 0, :], s_li[anc, 0, :],
+                    s_pred[anc, :, :],
                     x_z, xnan_f, xT_z, xnanT_f, resid, rules, acdf, lsd_vec,
                     llw2,
                     ug_ref[idx, 0, lo:lo + G], uv_ref[idx, 0, lo:lo + G],
@@ -218,11 +222,23 @@ def _draw_kernel(
                 d_lf[pi, :, :] = lf_n
                 d_ct[pi, 0, :] = ct_n
                 d_li[pi, 0, :] = li_n
-                predS[pi, :, :] = pred_n
+                d_pred[pi, :, :] = pred_n
                 llS[pi, :, :] = jnp.full((1, 1), ll_n, jnp.float32)
                 return 0
 
-            jax.lax.fori_loop(0, P, grow_body, 0)
+            # the grow body is LATENCY-bound (a ~25-step dependency
+            # chain of small vector ops — ablations show its cost barely
+            # moves when whole op groups are removed); unrolling the
+            # particle loop interleaves independent particles'
+            # instruction streams so their latencies overlap
+            U = 4 if P % 4 == 0 else (2 if P % 2 == 0 else 1)
+
+            def grow_body(bi_u, _):
+                for u in range(U):
+                    grow_one(bi_u * U + u)
+                return 0
+
+            jax.lax.fori_loop(0, P // U, grow_body, 0)
 
             ll = _row_from_col(llS[:, 0, :], P)
             lw1 = log_w + ll - ll_prev
@@ -261,7 +277,8 @@ def _draw_kernel(
             else:
                 log_w = lw1
 
-        fin_sv, fin_sl, fin_st, fin_lf, fin_ct, fin_li = bufs[D % 2]
+        (fin_sv, fin_sl, fin_st, fin_lf, fin_ct, fin_li,
+         fin_pred) = bufs[D % 2]
 
         # ---- categorical winner + refinement — mirrors select_pallas ----
         mx = jnp.max(log_w)
@@ -288,7 +305,7 @@ def _draw_kernel(
         sl_w = pick2(fin_sl[:, 0, :])
         ct_w = pick2(fin_ct[:, 0, :])
         lf_w = pick2(fin_lf[:, 0, :])
-        pred_w = pick2(predS[:, 0, :])
+        pred_w = pick2(fin_pred[:, 0, :])
 
         resid1 = resid[0]
         llw1 = llw2[0]
@@ -300,14 +317,21 @@ def _draw_kernel(
             diff = resid1 - pred_x
             return -0.5 * jnp.sum(llw1 * diff * diff)
 
-        ll_c = ll_of(pred_w)
+        # MH acceptance = likelihood ratio x Normal(0, leaf_sd) leaf-prior
+        # ratio (mirrors select_pallas / sampler.pgbart refine_body)
+        hiv = 0.5 / (leaf_sd * leaf_sd)
+
+        def lp_of(lf_x):
+            return -hiv * jnp.sum(leaf_mask * lf_x * lf_x)
+
+        ll_c = ll_of(pred_w) + lp_of(lf_w)
         eps_scale = 0.3 * leaf_sd
         for r in range(R):
             lf_p = lf_w + epsr_ref[bi * R + r, 0, :] * eps_scale * leaf_mask
             pred_p = jax.lax.dot_general(
                 lf_p[None, :], soh, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)[0]
-            ll_p = ll_of(pred_p)
+            ll_p = ll_of(pred_p) + lp_of(lf_p)
             acc = jnp.log(u_acc_ref[0, bi * R + r]) < (ll_p - ll_c)
             accf = acc.astype(jnp.float32)
             lf_w = accf * lf_p + (1.0 - accf) * lf_w
@@ -326,11 +350,12 @@ def _draw_kernel(
         iteration = iteration + 1.0
 
         if tuning:
-            # split-prior adaptation: +1 per variable USED by this tree
+            # Dirichlet-style split-prior adaptation: +1 per SPLIT NODE
+            # using the variable (multiset — see sampler/pgbart.py)
             used = (sv_w[:, None]
                     == jax.lax.broadcasted_iota(jnp.int32, (S, p), 1))
             tcounts = used.astype(jnp.float32).sum(axis=0)
-            av_o[0, :] = av_o[0, :] + jnp.minimum(tcounts, 1.0)
+            av_o[0, :] = av_o[0, :] + tcounts
             # Welford running leaf variance -> leaf_sd
             wf_count = wf_count + 1.0
             pred_w2 = pred_w[None, :]
@@ -488,7 +513,8 @@ def pgbart_step_fused(key, state, X, Y_target, rules, cfg: BartConfig,
         pltpu.VMEM((P, 1, S), jnp.float32), pltpu.VMEM((P, 1, S), jnp.float32),
         pltpu.VMEM((P, 1, S), jnp.float32), pltpu.VMEM((P, 1, S), jnp.float32),
         pltpu.VMEM((P, 1, n), jnp.int32), pltpu.VMEM((P, 1, n), jnp.int32),
-        pltpu.VMEM((P, 1, n), jnp.float32), pltpu.VMEM((P, 1, 1), jnp.float32),
+        pltpu.VMEM((P, 1, n), jnp.float32), pltpu.VMEM((P, 1, n), jnp.float32),
+        pltpu.VMEM((P, 1, 1), jnp.float32),
     ]
     kernel = functools.partial(
         _draw_kernel, B=B, P=P, D=D, S=S, n=n, p=p, m=m, R=R,

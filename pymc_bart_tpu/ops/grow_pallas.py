@@ -47,7 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import BartConfig
 
 
-def _grow_math(frozen, sv, sl, st, lf, ct, li,
+def _grow_math(frozen, sv, sl, st, lf, ct, li, pred_prev,
                x_z, xnan_f, xT_z, xnanT_f, resid, rules, cdf, lsd, llw,
                u_grow, u_var, row_gum, eps, set_bits,
                *, d: int, S: int, n: int, p: int, k: int,
@@ -61,6 +61,15 @@ def _grow_math(frozen, sv, sl, st, lf, ct, li,
     node-by-row masks (G, n); returns pred (k, n).  ``xT_z``/``xnanT_f``
     are the (p, n) transposes, precomputed once outside.
     Other inputs: sv/sl/ct (S,), st (S,) uint32, li (n,) int32.
+
+    ``pred_prev`` (k, n) is this particle's prediction after the previous
+    round; the new prediction is computed INCREMENTALLY — rows only move
+    one level per round, and leaf values at slots < 2^(d+1)-1 are never
+    written in round d, so only rows that actually routed to a child this
+    round change value (to that child's leaf value).  This replaces the
+    (S, n) one-hot + (k,S)x(S,n) matmul full recomputation, the single
+    largest VPU+MXU item of the round, with a (k,2G)x(2G,n) pick that
+    reuses the already-built child one-hot.
     Returns (sv', sl', st', lf', ct', li', pred (k, n), ll scalar).
     """
     lo, hi = 2**d - 1, 2 ** (d + 1) - 1
@@ -77,10 +86,17 @@ def _grow_math(frozen, sv, sl, st, lf, ct, li,
     var_s = jnp.sum((cdf[None, :] < u_v[:, None]).astype(jnp.int32), axis=1)
     var_s = jnp.clip(var_s, 0, p - 1)
 
-    # uniform row per node via Gumbel-max within node membership
+    # node membership one-hot (G, n): doubles as the Gumbel-max scoring
+    # mask AND the node->row selection operand of every per-row pick
+    # below (a row outside this level has an all-zero column; such rows
+    # are masked by in_level before anything they touch is used)
     slots = lo + jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)[0]
-    in_node = slots[:, None] == li[None, :]              # (G, n)
-    scores = jnp.where(in_node, row_gum[None, :], -jnp.inf)
+    in_level = (li >= lo) & (li < hi)
+    row_onehot = slots[:, None] == li[None, :]            # (G, n)
+    row_onehot_f = row_onehot.astype(jnp.float32)
+
+    # uniform row per node via Gumbel-max within node membership
+    scores = jnp.where(row_onehot, row_gum[None, :], -jnp.inf)
     row_sel = jnp.argmax(scores, axis=1).astype(jnp.int32)
 
     # effective split params (frozen replays stored splits)
@@ -88,23 +104,69 @@ def _grow_math(frozen, sv, sl, st, lf, ct, li,
     node_st = st[lo:hi]
     varx = jnp.where(frozen, node_sv, var_s)
     varx_c = jnp.clip(varx, 0, p - 1)
+    active = (frozen & (node_sv >= 0)) | (~frozen & want_grow)
 
-    # split value per node: X[row_sel[g], varx_c[g]] via two selection
-    # matmuls on the MXU — B = rowsel^T X is (G, p), then pick the node's
-    # column.  NaNs are masked through the matmuls and re-flagged.
-    colsel = (jax.lax.broadcasted_iota(jnp.int32, (G, p), 1)
-              == varx_c[:, None]).astype(jnp.float32)  # (G, p)
-    rowsel = (jax.lax.broadcasted_iota(jnp.int32, (G, n), 1)
-              == row_sel[:, None]).astype(jnp.float32)  # (G, n)
-    Bv = jax.lax.dot_general(
-        rowsel, x_z, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    Bn = jax.lax.dot_general(
-        rowsel, xnan_f, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    val_raw = jnp.sum(Bv * colsel, axis=1)
-    val_nan = jnp.sum(Bn * colsel, axis=1) > 0.5
-    val_raw = jnp.where(val_nan, jnp.nan, val_raw)
+    def rows_pick(mat_gxn_rows):  # (r, G) f32 -> (r, n): exact selections
+        return jax.lax.dot_general(
+            mat_gxn_rows, row_onehot_f,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def pack_rows(*vecs):  # r x (G,) f32 -> (r, G) via iota blends (tiny)
+        r = len(vecs)
+        out = jnp.zeros((r, G), jnp.float32)
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (r, G), 0)
+        for i, v in enumerate(vecs):
+            out = jnp.where(row_iota == i, v[None, :], out)
+        return out
+
+    # wave 1: the row's node's split variable
+    varx_row = rows_pick(pack_rows(varx_c.astype(jnp.float32)))[0]
+    varx_row = varx_row.astype(jnp.int32)
+
+    if p <= 32:
+        # the row's own covariate value x[i, varx_row[i]] and the rule of
+        # that column, via a (p, n) covariate one-hot — cheaper than the
+        # per-node xcol matmuls when p is small
+        colhot = (jax.lax.broadcasted_iota(jnp.int32, (p, n), 0)
+                  == varx_row[None, :]).astype(jnp.float32)
+        xv = jnp.sum(colhot * xT_z, axis=0)
+        xv_nan = jnp.sum(colhot * xnanT_f, axis=0) > 0.5
+        rule_row = jnp.sum(colhot * rules[None, :].T.astype(jnp.float32),
+                           axis=0).astype(jnp.int32)
+        # split value per node = xv at the node's selected row
+        rowsel = (jax.lax.broadcasted_iota(jnp.int32, (G, n), 1)
+                  == row_sel[:, None]).astype(jnp.float32)
+        val_raw = jnp.sum(rowsel * xv[None, :], axis=1)
+        val_nan = jnp.sum(rowsel * xv_nan.astype(jnp.float32)[None, :],
+                          axis=1) > 0.5
+        val_raw = jnp.where(val_nan, jnp.nan, val_raw)
+    else:
+        # wide-X path: per-node column extraction on the MXU
+        colsel = (jax.lax.broadcasted_iota(jnp.int32, (G, p), 1)
+                  == varx_c[:, None]).astype(jnp.float32)  # (G, p)
+        rowsel = (jax.lax.broadcasted_iota(jnp.int32, (G, n), 1)
+                  == row_sel[:, None]).astype(jnp.float32)  # (G, n)
+        Bv = jax.lax.dot_general(
+            rowsel, x_z, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        Bn = jax.lax.dot_general(
+            rowsel, xnan_f, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        val_raw = jnp.sum(Bv * colsel, axis=1)
+        val_nan = jnp.sum(Bn * colsel, axis=1) > 0.5
+        val_raw = jnp.where(val_nan, jnp.nan, val_raw)
+        rule_g = jnp.sum(jnp.where(colsel > 0.5, rules[None, :], 0), axis=1)
+        xcol = jax.lax.dot_general(
+            colsel, xT_z, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (G, n)
+        xcol_nan = jax.lax.dot_general(
+            colsel, xnanT_f, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        xv = jnp.sum(jnp.where(row_onehot, xcol, 0.0), axis=0)
+        xv_nan = jnp.sum(jnp.where(row_onehot, xcol_nan, 0.0), axis=0) > 0.5
+        rule_row = rows_pick(pack_rows(rule_g.astype(jnp.float32)))[0]
+        rule_row = rule_row.astype(jnp.int32)
 
     # subset-rule bitmask includes the selected row's own category.
     # Bitmask arithmetic on i32 bit patterns (Mosaic: no u32 reductions,
@@ -117,42 +179,24 @@ def _grow_math(frozen, sv, sl, st, lf, ct, li,
 
     valx = jnp.where(frozen, node_sl, val_raw)
     setx_i = jnp.where(frozen, node_st_i, st_s_i)
-    active = (frozen & (node_sv >= 0)) | (~frozen & want_grow)
 
-    # per-node split rule
-    rule_g = jnp.sum(jnp.where(colsel > 0.5, rules[None, :], 0), axis=1)
-
-    # per-row split parameters at the row's own node (selection matmuls
-    # over G; exact — each row weight vector has a single 1)
-    in_level = (li >= lo) & (li < hi)
-    g_row = jnp.clip(li - lo, 0, G - 1)
-    row_onehot = (jax.lax.broadcasted_iota(jnp.int32, (G, n), 0)
-                  == g_row[None, :])                     # (G, n)
-    row_onehot_f = row_onehot.astype(jnp.float32)
-
-    def pick_row(vec_f32):  # (G,) f32 -> per-row value (n,)
-        return jax.lax.dot_general(
-            vec_f32.reshape(1, G), row_onehot_f,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)[0]
-
-    varx_row = pick_row(varx_c.astype(jnp.float32)).astype(jnp.int32)
-    valx_row = pick_row(jnp.where(jnp.isnan(valx), 0.0, valx))
-    valnan_row = pick_row(jnp.isnan(valx).astype(jnp.float32)) > 0.5
-    rule_row = pick_row(rule_g.astype(jnp.float32)).astype(jnp.int32)
-    active_row = pick_row(active.astype(jnp.float32)) > 0.5
-    setx_row_i = jnp.sum(jnp.where(row_onehot, setx_i[:, None], 0), axis=0)
-
-    # the row's own covariate value x[i, varx_row[i]]: per-node columns
-    # xcol (G, n) = colsel @ X^T on the MXU, then pick by the row's node
-    xcol = jax.lax.dot_general(
-        colsel, xT_z, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)              # (G, n)
-    xcol_nan = jax.lax.dot_general(
-        colsel, xnanT_f, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    xv = jnp.sum(jnp.where(row_onehot, xcol, 0.0), axis=0)
-    xv_nan = jnp.sum(jnp.where(row_onehot, xcol_nan, 0.0), axis=0) > 0.5
+    # wave 2: every remaining per-row node quantity in ONE selection
+    # matmul; the 32-bit subset masks ride as two 16-bit halves (exact in
+    # f32) instead of a separate i32 mask-and-reduce
+    set_lo = (setx_i & jnp.int32(0xFFFF)).astype(jnp.float32)
+    set_hi = jax.lax.shift_right_logical(setx_i, 16).astype(jnp.float32)
+    picked = rows_pick(pack_rows(
+        jnp.where(jnp.isnan(valx), 0.0, valx),
+        jnp.isnan(valx).astype(jnp.float32),
+        active.astype(jnp.float32),
+        set_lo,
+        set_hi,
+    ))
+    valx_row = picked[0]
+    valnan_row = picked[1] > 0.5
+    active_row = picked[2] > 0.5
+    setx_row_i = (picked[3].astype(jnp.int32)
+                  | (picked[4].astype(jnp.int32) << 16))
 
     anynan = xv_nan | valnan_row
     cont = (xv <= valx_row) & ~anynan
@@ -191,7 +235,9 @@ def _grow_math(frozen, sv, sl, st, lf, ct, li,
     valid = (cl > 0) & (cr > 0)
     grow_ok = want_grow & valid
     active_final = (frozen & (node_sv >= 0)) | (~frozen & grow_ok)
-    row_act_final = in_level & (pick_row(active_final.astype(jnp.float32)) > 0.5)
+    # wave 3: the post-validation activity bit per row
+    af_row = rows_pick(pack_rows(active_final.astype(jnp.float32)))[0]
+    row_act_final = in_level & (af_row > 0.5)
     li_new = jnp.where(row_act_final, child, li)
 
     # commit structure: scatter the level segment back into the S-vector
@@ -262,14 +308,17 @@ def _grow_math(frozen, sv, sl, st, lf, ct, li,
         preferred_element_type=jnp.float32)  # (k, S)
     lf_new = jnp.where(child_mask[None, :], full_clf, lf)
 
-    # per-round prediction (k, n): leaf (k, S) x one-hot (S, n) on MXU
-    soh = (jax.lax.broadcasted_iota(jnp.int32, (S, n), 0)
-           == li_new[None, :]).astype(jnp.float32)
-    pred = jax.lax.dot_general(
-        lf_new, soh,
+    # incremental per-round prediction (k, n): rows that moved pick their
+    # child's leaf value through the already-built child one-hot ``oh``;
+    # unmoved rows keep pred_prev (their leaf value is untouched in this
+    # round — see docstring).
+    mu_row = jax.lax.dot_general(
+        new_clf, oh,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    )  # (k, n)
+    moved_f = (row_act_final).astype(jnp.float32)[None, :]
+    pred = moved_f * mu_row + (1.0 - moved_f) * pred_prev
 
     # fused Gaussian SMC weight (constant-free log-likelihood); llw == 0
     # for non-Gaussian models (caller then ignores ll)
@@ -286,6 +335,7 @@ def _grow_math(frozen, sv, sl, st, lf, ct, li,
 
 def _kernel_grid(take_ref, frozen_ref,
                  sv_ref, sl_ref, st_ref, lf_ref, ct_ref, sp_ref, li_ref,
+                 pred_ref,
                  x_ref, xt_ref, resid_ref, rules_ref, cdf_ref, lsd_ref,
                  llw_ref,
                  u_grow_ref, u_var_ref, row_gum_ref, eps_ref, set_bits_ref,
@@ -301,6 +351,7 @@ def _kernel_grid(take_ref, frozen_ref,
     out = _grow_math(
         frozen, sv_ref[0, 0, :], sl_ref[0, 0, :], st_ref[0, 0, :],
         lf_ref[0, :, :], ct_ref[0, 0, :], li_ref[0, 0, :],
+        pred_ref[0, :, :],
         jnp.where(xnan, 0.0, xraw), xnan.astype(jnp.float32),
         jnp.where(xtnan, 0.0, xtraw), xtnan.astype(jnp.float32),
         resid_ref[:, :], rules_ref[0, :], cdf_ref[0, :], lsd_ref[0, :],
@@ -329,6 +380,7 @@ def _kernel_grid(take_ref, frozen_ref,
 
 def _kernel_single(take_ref, frozen_ref,
                    sv_ref, sl_ref, st_ref, lf_ref, ct_ref, sp_ref, li_ref,
+                   pred_ref,
                    x_ref, xt_ref, resid_ref, rules_ref, cdf_ref, lsd_ref,
                    llw_ref,
                    u_grow_ref, u_var_ref, row_gum_ref, eps_ref, set_bits_ref,
@@ -355,6 +407,7 @@ def _kernel_single(take_ref, frozen_ref,
         out = _grow_math(
             frozen, sv_ref[anc, 0, :], sl_ref[anc, 0, :], st_ref[anc, 0, :],
             lf_ref[anc, :, :], ct_ref[anc, 0, :], li_ref[anc, 0, :],
+            pred_ref[anc, :, :],
             x_z, xnan_f, xT_z, xnanT_f, resid, rules, cdf, lsd, llw,
             u_grow_ref[pi, 0, :], u_var_ref[pi, 0, :], row_gum_ref[pi, 0, :],
             eps_ref[pi, :, :], set_bits_ref[pi, 0, :],
@@ -377,13 +430,17 @@ def _kernel_single(take_ref, frozen_ref,
 
 @functools.partial(jax.jit, static_argnames=("d", "cfg", "single"))
 def grow_round_pallas(take, frozen, sv, sl, st, lf, ct, sp, leaf_idx,
+                      pred_prev,
                       X, resid, rules, alpha_cdf, leaf_sd, ll_weight,
                       u_grow, u_var, row_gum, eps, set_bits,
                       d: int, cfg: BartConfig, single: bool = True):
     """One fused growth round for all particles.
 
     take: int32[P] ancestor index per output particle (identity when the
-    SMC did not resample this round).  K-MAJOR layout (see _grow_math):
+    SMC did not resample this round); ``pred_prev`` (P, k, n) is each
+    particle's prediction after the previous round, read through ``take``
+    like the rest of the state (so callers must NOT pre-gather it).
+    K-MAJOR layout (see _grow_math):
     lf/sp (P, k, S), eps (P, k, 2G), resid/ll_weight (k, n); other state
     (P, S)/(P, n).  ``ll_weight``: per-observation Gaussian precision for
     the fused SMC log-likelihood output (zeros for non-Gaussian models —
@@ -416,6 +473,7 @@ def grow_round_pallas(take, frozen, sv, sl, st, lf, ct, sp, leaf_idx,
     r3 = lambda a: a.reshape(P, 1, -1)  # noqa: E731
     args = (take.astype(jnp.int32).reshape(1, P), frozen_i32,
             r3(sv), r3(sl), r3(st), lf, r3(ct), sp, r3(leaf_idx),
+            pred_prev,
             X, X.T, resid, rules.reshape(1, -1), alpha_cdf.reshape(1, -1),
             leaf_sd.reshape(1, -1), ll_weight,
             r3(u_grow), r3(u_var), r3(row_gum), eps,
@@ -431,7 +489,7 @@ def grow_round_pallas(take, frozen, sv, sl, st, lf, ct, sp, leaf_idx,
             out_shape=out_shape,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                       pl.BlockSpec(memory_space=pltpu.SMEM)]
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 19,
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 20,
             out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
             interpret=(jax.default_backend() == "cpu"),
         )(*args)
@@ -462,6 +520,7 @@ def grow_round_pallas(take, frozen, sv, sl, st, lf, ct, sp, leaf_idx,
                 pl.BlockSpec((1, 1, S), anc3),
                 pl.BlockSpec((1, k, S), anc3),
                 pl.BlockSpec((1, 1, n), anc3),
+                pl.BlockSpec((1, k, n), anc3),
                 pl.BlockSpec((n, p), shared),
                 pl.BlockSpec((p, n), shared),
                 pl.BlockSpec((k, n), shared),

@@ -80,9 +80,13 @@ def test_pallas_grow_matches_jax(d, k):
 
     llw = jnp.ones((k, n), jnp.float32)  # also exercise the fused ll
     sv_a, sl_a, st_a, lf_a, ct_a, sp_a, li_a = args
+    # each particle's current prediction: leaf value at its row's node
+    pred_prev = jnp.asarray(
+        np.stack([np.asarray(lf)[pi][li[pi]] for pi in range(P)]),
+        jnp.float32).transpose(0, 2, 1)  # (P, k, n)
     pl_out = grow_round_pallas(
         take, frozen, sv_a, sl_a, st_a, lf_a.transpose(0, 2, 1), ct_a,
-        sp_a.transpose(0, 2, 1), li_a,
+        sp_a.transpose(0, 2, 1), li_a, pred_prev,
         X, resid.T, rules, alpha_cdf, leaf_sd, llw,
         rands["u_grow"], rands["u_var"], rands["row_gum"],
         rands["eps"].transpose(0, 2, 1),
@@ -154,9 +158,11 @@ def test_pallas_ancestor_take():
     }
 
     take = jnp.asarray([0, 2, 2], jnp.int32)  # both growers copy particle 2
+    pred_prev = jnp.broadcast_to(
+        lf[:, 0, :][:, :, None], (P, k, n)).astype(jnp.float32)
     out = grow_round_pallas(
         take, frozen, sv, sl, st, lf.transpose(0, 2, 1), ct,
-        sp.transpose(0, 2, 1), li, X, resid.T, rules,
+        sp.transpose(0, 2, 1), li, pred_prev, X, resid.T, rules,
         alpha_cdf, leaf_sd, jnp.zeros((k, n), jnp.float32),
         rands["u_grow"], rands["u_var"],
         rands["row_gum"], rands["eps"].transpose(0, 2, 1),
