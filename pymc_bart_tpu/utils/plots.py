@@ -1,13 +1,10 @@
-"""Partial-dependence and ICE plots (reference parity layer).
+"""Rendering layer for partial-dependence and ICE plots.
 
-Re-implements the reference's interpretability plots (reference
-``pymc_bart/utils.py:134-716``: plot_ice, plot_pdp, plot_convergence and
-the _create_figure_axes/_prepare_plot_data/_create_pdp_data/_smooth_mean/
-_plot_hdi helpers) on top of the fused posterior-prediction kernel.
-PDP uses the reference's "fast PDP" trick: for each variable, predict
-with every *other* variable excluded (reference utils.py:393-404,
-CHANGELOG.md:378) — exclusion is integrated out on device by
-row-count-weighted tree traversal.
+Curve *computation* lives in ``utils/interpret.py`` (batched device
+kernels); this module only lays out panels and draws lines/bands.
+Capability parity with the reference's plot_pdp / plot_ice /
+plot_convergence (reference ``pymc_bart/utils.py``), structured as a
+thin renderer over the data layer.
 """
 
 from __future__ import annotations
@@ -17,173 +14,137 @@ from typing import Any, Callable, Dict, Optional
 
 import numpy as np
 
-from .posterior import sample_posterior
+from .interpret import as_matrix, ice, partial_dependence
 from .stats import DEFAULT_CI_PROB, hdi
 
-
-def _identity(x):
-    return x
+_SMOOTH_GRID_POINTS = 200
 
 
-def _get_axes(grid, n_plots, sharex, sharey, figsize):
+# ---------------------------------------------------------------------------
+# panel layout
+# ---------------------------------------------------------------------------
+
+
+def _panel_grid(layout, n_panels, sharex, sharey, figsize):
+    """Figure + flat list of ``n_panels`` axes.
+
+    layout: ``"long"`` (one column), ``"wide"`` (one row), or an
+    ``(nrows, ncols)`` tuple — a too-small tuple is widened with a
+    warning.
+    """
     import matplotlib.pyplot as plt
 
-    if grid == "long":
-        fig, axes = plt.subplots(n_plots, sharex=sharex, sharey=sharey,
-                                 figsize=figsize)
-        if n_plots == 1:
-            axes = [axes]
-    elif grid == "wide":
-        fig, axes = plt.subplots(1, n_plots, sharex=sharex, sharey=sharey,
-                                 figsize=figsize)
-        if n_plots == 1:
-            axes = [axes]
-    elif isinstance(grid, tuple):
-        grid_size = grid[0] * grid[1]
-        if n_plots > grid_size:
+    if layout == "long":
+        shape = (n_panels, 1)
+    elif layout == "wide":
+        shape = (1, n_panels)
+    elif isinstance(layout, tuple):
+        nrows, ncols = layout
+        if nrows * ncols < n_panels:
             warnings.warn(
                 "The grid is smaller than the number of available variables "
                 "to plot. Automatically adjusting the grid size."
             )
-            grid = (n_plots // grid[1] + (n_plots % grid[1] > 0), grid[1])
-        fig, axes = plt.subplots(*grid, sharey=sharey, figsize=figsize)
-        axes = np.ravel(axes)
-        for i in range(n_plots, len(axes)):
-            fig.delaxes(axes[i])
-        axes = axes[:n_plots]
+            nrows = -(-n_panels // ncols)
+        shape = (nrows, ncols)
     else:
-        raise ValueError(f"grid must be 'long', 'wide' or a tuple, got {grid!r}")
-    return fig, axes
+        raise ValueError(
+            f"grid must be 'long', 'wide' or a tuple, got {layout!r}")
+
+    fig, axmat = plt.subplots(*shape, sharex=sharex, sharey=sharey,
+                              figsize=figsize)
+    axes = list(np.ravel([axmat]))
+    for extra in axes[n_panels:]:
+        fig.delaxes(extra)
+    return fig, axes[:n_panels]
 
 
-def _bart_shape(bartrv) -> int:
-    """Number of output panels per variable (reference utils.py:490-504)."""
+# legacy name used by importance.py round 1; kept as a thin alias
+def _get_axes(grid, n_plots, sharex, sharey, figsize):
+    return _panel_grid(grid, n_plots, sharex, sharey, figsize)
+
+
+def _resolve_axes(bartrv, n_vars, layout, sharey, figsize, ax):
+    """(fig, axes, outputs-per-variable) honoring a user-supplied ax."""
+    n_out = _output_count(bartrv)
+    if ax is None:
+        fig, axes = _panel_grid(layout, n_vars * n_out, False, sharey,
+                                figsize)
+    elif isinstance(ax, np.ndarray):
+        axes, fig = list(np.ravel(ax)), np.ravel(ax)[0].get_figure()
+    else:
+        axes, fig = [ax], ax.get_figure()
+    return fig, axes, n_out
+
+
+def _output_count(bartrv) -> int:
     if isinstance(bartrv, list):
         return len(bartrv)
-    if len(bartrv.shape) == 1:
-        return 1
-    return bartrv.config.n_outputs
+    return 1 if len(bartrv.shape) == 1 else bartrv.config.n_outputs
 
 
-def _all_trees_of(bartrv):
-    if isinstance(bartrv, list):
-        if not all(len(rv.shape) == 1 for rv in bartrv):
-            raise ValueError("List inputs must contain only 1D BART variables")
-        trees = [rv.all_trees for rv in bartrv]
-        if any(t is None for t in trees):
-            raise ValueError("BART variable has no sampled trees; run sample() first")
-        return trees
-    if bartrv.all_trees is None:
-        raise ValueError("BART variable has no sampled trees; run sample() first")
-    return bartrv.all_trees
-
-
-def _create_figure_axes(bartrv, var_idx, grid="long", sharey=True,
-                        figsize=None, ax=None):
-    import matplotlib.pyplot as plt  # noqa: F401
-
-    shape = _bart_shape(bartrv)
-    n_plots = len(var_idx) * shape
-    if ax is None:
-        fig, axes = _get_axes(grid, n_plots, False, sharey, figsize)
-    elif isinstance(ax, np.ndarray):
-        axes = ax
-        fig = ax[0].get_figure()
-    else:
-        axes = [ax]
-        fig = ax.get_figure()
-    return fig, axes, shape
-
-
-def _prepare_plot_data(X, Y=None, xs_interval="quantiles", xs_values=None,
-                       var_idx=None, var_discrete=None):
-    """Labels, defaults, and variable index bookkeeping
-    (reference ``utils.py:548-638``)."""
-    if xs_interval not in ("insample", "linear", "quantiles"):
+def _posterior_store(bartrv):
+    rvs = bartrv if isinstance(bartrv, list) else [bartrv]
+    if isinstance(bartrv, list) and not all(len(rv.shape) == 1 for rv in rvs):
+        raise ValueError("List inputs must contain only 1D BART variables")
+    if any(rv.all_trees is None for rv in rvs):
         raise ValueError(
-            f"{xs_interval} is not supported. Available options are "
-            "'insample', 'linear' or 'quantiles'"
-        )
-
-    if hasattr(X, "columns") and hasattr(X, "to_numpy"):
-        x_names = list(X.columns)
-        X = X.to_numpy()
-    else:
-        x_names = []
-    X = np.asarray(X, np.float64)
-
-    if Y is not None and hasattr(Y, "name"):
-        y_label = f"Partial {Y.name}"
-    else:
-        y_label = "Partial Y"
-
-    indices = list(range(X.shape[1]))
-    if var_idx is None:
-        var_idx = indices
-    if var_discrete is None:
-        var_discrete = []
-
-    if x_names:
-        x_labels = {idx: x_names[idx] for idx in var_idx}
-    else:
-        x_labels = {idx: f"X_{idx}" for idx in var_idx}
-
-    if xs_interval == "linear" and xs_values is None:
-        xs_values = 10
-    if xs_interval == "quantiles" and xs_values is None:
-        xs_values = [0.05, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.95]
-
-    return (X, x_labels, y_label, indices, var_idx, var_discrete,
-            xs_interval, xs_values)
+            "BART variable has no sampled trees; run sample() first")
+    return [rv.all_trees for rv in rvs] if isinstance(bartrv, list) \
+        else bartrv.all_trees
 
 
-def _create_pdp_data(X, xs_interval, xs_values=None) -> np.ndarray:
-    """Evaluation grid (reference ``utils.py:641-673``): in-sample rows,
-    an evenly spaced grid, or per-column quantiles."""
-    if xs_interval == "insample":
-        return X
-    if xs_interval == "linear" and isinstance(xs_values, int):
-        min_vals = np.nanmin(X, axis=0)
-        max_vals = np.nanmax(X, axis=0)
-        return np.linspace(min_vals, max_vals, num=xs_values, axis=0)
-    if xs_interval == "quantiles" and isinstance(xs_values, list):
-        return np.nanquantile(X, q=xs_values, axis=0)
-    raise ValueError(f"invalid xs_interval/xs_values: {xs_interval}/{xs_values}")
+def _axis_labels(col_names, var_idx):
+    if col_names:
+        return {v: col_names[v] for v in var_idx}
+    return {v: f"X_{v}" for v in var_idx}
 
 
-def _smooth_mean(new_x, p_di, kind="neutral", smooth_kwargs=None):
-    """Linear interpolation onto a 200-point grid + Savitzky-Golay filter
-    (reference ``utils.py:676-716``)."""
-    from scipy.interpolate import griddata
+def _response_label(Y) -> str:
+    name = getattr(Y, "name", None)
+    return f"Partial {name}" if name is not None else "Partial Y"
+
+
+# ---------------------------------------------------------------------------
+# smoothing / bands
+# ---------------------------------------------------------------------------
+
+
+def _smooth_on_grid(xs, ys, smooth_kwargs=None):
+    """Interpolate curve(s) onto a dense grid and Savitzky-Golay filter.
+
+    xs (g,); ys (g,) or (g, c).  Returns (grid, smoothed) with the same
+    trailing shape.  1-D linear interpolation per curve (the grid is a
+    single axis), then a polynomial smoothing window.
+    """
     from scipy.signal import savgol_filter
 
-    smooth_kwargs = dict(smooth_kwargs or {})
-    smooth_kwargs.setdefault("window_length", 55)
-    smooth_kwargs.setdefault("polyorder", 2)
-    x_data = np.linspace(np.nanmin(new_x), np.nanmax(new_x), 200)
-    x_data[0] = (x_data[0] + x_data[1]) / 2
-    if kind == "neutral":
-        interp = griddata(new_x, p_di, x_data)
-    elif kind == "pdp":
-        interp = griddata(new_x, p_di.mean(0), x_data)
-    else:
-        interp = griddata(new_x, p_di.T, x_data)
-    y_data = savgol_filter(interp, axis=0, **smooth_kwargs)
-    return x_data, y_data
+    opts = {"window_length": 55, "polyorder": 2, **(smooth_kwargs or {})}
+    grid = np.linspace(np.nanmin(xs), np.nanmax(xs), _SMOOTH_GRID_POINTS)
+    grid[0] = 0.5 * (grid[0] + grid[1])
+    order = np.argsort(xs)
+    ys2 = ys[order].reshape(len(xs), -1)
+    dense = np.empty((grid.size, ys2.shape[1]))
+    for c in range(ys2.shape[1]):
+        dense[:, c] = np.interp(grid, xs[order], ys2[:, c])
+    smoothed = savgol_filter(dense, axis=0, **opts)
+    return grid, smoothed.reshape((grid.size,) + ys[order].shape[1:])
 
 
-def _plot_hdi(x, y, smooth, color, alpha, smooth_kwargs, ax):
-    x = np.asarray(x)
-    y = np.asarray(y)
-    hdi_data = hdi(y, DEFAULT_CI_PROB, axis=0)
+def _credible_band(ax, xs, draws, smooth, smooth_kwargs, color, alpha):
+    """Fill the HDI band of ``draws`` (c, g) over ``xs`` (g,)."""
+    band = hdi(draws, DEFAULT_CI_PROB, axis=0)  # (g, 2)
     if smooth:
-        x_data, y_data = _smooth_mean(x, hdi_data, smooth_kwargs=smooth_kwargs)
+        grid, band = _smooth_on_grid(xs, band, smooth_kwargs)
     else:
-        idx = np.argsort(x)
-        x_data = x[idx]
-        y_data = hdi_data[idx]
-    ax.fill_between(x_data, y_data[:, 0], y_data[:, 1], color=color, alpha=alpha)
-    return ax
+        order = np.argsort(xs)
+        grid, band = xs[order], band[order]
+    ax.fill_between(grid, band[:, 0], band[:, 1], color=color, alpha=alpha)
+
+
+# ---------------------------------------------------------------------------
+# public plots
+# ---------------------------------------------------------------------------
 
 
 def plot_convergence(idata, var_name=None, kind="ecdf", figsize=None, ax=None):
@@ -218,58 +179,62 @@ def plot_pdp(
     smooth_kwargs: Optional[Dict[str, Any]] = None,
     ax=None,
 ):
-    """Partial dependence plot (reference ``utils.py:278-450``)."""
-    all_trees = _all_trees_of(bartrv)
+    """Partial dependence plot (capability parity: reference
+    ``utils.py:278-450``; curves from ``interpret.partial_dependence``).
+    """
+    X, col_names = as_matrix(X)
+    var_idx = list(var_idx) if var_idx is not None else list(range(X.shape[1]))
+    discrete = set(var_discrete or [])
+    labels = _axis_labels(col_names, var_idx)
     rng = np.random.default_rng(random_seed)
-    func = func or _identity
 
-    (X, x_labels, y_label, indices, var_idx, var_discrete, xs_interval,
-     xs_values) = _prepare_plot_data(X, Y, xs_interval, xs_values, var_idx,
-                                     var_discrete)
+    bundles = partial_dependence(
+        _posterior_store(bartrv), X, var_idx, strategy=xs_interval,
+        spec=xs_values, samples=samples, rng=rng)
+    if func is not None:
+        for b in bundles:
+            b.curves = func(b.curves)
 
-    fig, axes, shape = _create_figure_axes(bartrv, var_idx, grid, sharey,
-                                           figsize, ax)
+    fig, axes, n_out = _resolve_axes(bartrv, len(var_idx), grid, sharey,
+                                     figsize, ax)
 
-    count = 0
-    fake_X = _create_pdp_data(X, xs_interval, xs_values)
-    null_pd = []
-    for var in var_idx:
-        excluded = indices[:]
-        excluded.remove(var)
-        p_d = func(sample_posterior(all_trees, fake_X, rng=rng, size=samples,
-                                    excluded=excluded))
-        new_x = fake_X[:, var]
-        for s_i in range(shape):
-            p_di = p_d[:, :, s_i]
-            null_pd.append(p_di.mean())
-            if var in var_discrete:
-                _, idx_uni = np.unique(new_x, return_index=True)
-                y_means = p_di.mean(0)[idx_uni]
-                hdi_vals = hdi(p_di, prob=DEFAULT_CI_PROB, axis=0)[idx_uni]
-                axes[count].errorbar(
-                    new_x[idx_uni], y_means,
-                    (y_means - hdi_vals[:, 0], hdi_vals[:, 1] - y_means),
-                    fmt=".", color=color,
-                )
-                axes[count].set_xticks(new_x[idx_uni])
+    panel = 0
+    panel_means = []
+    for b in bundles:
+        for out in range(n_out):
+            draws = b.curves[:, :, out]  # (samples, g)
+            panel_means.append(draws.mean())
+            target = axes[panel]
+            if b.var in discrete:
+                _, first = np.unique(b.xs, return_index=True)
+                centers = draws.mean(0)[first]
+                band = hdi(draws, prob=DEFAULT_CI_PROB, axis=0)[first]
+                target.errorbar(
+                    b.xs[first], centers,
+                    (centers - band[:, 0], band[:, 1] - centers),
+                    fmt=".", color=color)
+                target.set_xticks(b.xs[first])
             else:
-                _plot_hdi(new_x, p_di, smooth=smooth, alpha=alpha, color=color,
-                          smooth_kwargs=smooth_kwargs, ax=axes[count])
+                _credible_band(target, b.xs, draws, smooth, smooth_kwargs,
+                               color, alpha)
                 if smooth:
-                    x_data, y_data = _smooth_mean(new_x, p_di, "pdp",
-                                                  smooth_kwargs)
-                    axes[count].plot(x_data, y_data, color=color_mean)
+                    gx, gy = _smooth_on_grid(b.xs, draws.mean(0),
+                                             smooth_kwargs)
+                    target.plot(gx, gy, color=color_mean)
                 else:
-                    axes[count].plot(new_x, p_di.mean(0), color=color_mean)
-            axes[count].set_xlabel(x_labels[var])
-            count += 1
+                    order = np.argsort(b.xs)
+                    target.plot(b.xs[order], draws.mean(0)[order],
+                                color=color_mean)
+            target.set_xlabel(labels[b.var])
+            panel += 1
 
-    if ref_line:
-        ref_val = sum(null_pd) / len(null_pd)
-        for ax_ in np.ravel(axes):
-            ax_.axhline(ref_val, color="0.7", linestyle="--")
+    if ref_line and panel_means:
+        level = float(np.mean(panel_means))
+        for target in axes:
+            target.axhline(level, color="0.7", linestyle="--")
 
-    fig.text(-0.05, 0.5, y_label, va="center", rotation="vertical", fontsize=15)
+    fig.text(-0.05, 0.5, _response_label(Y), va="center",
+             rotation="vertical", fontsize=15)
     return axes
 
 
@@ -294,58 +259,47 @@ def plot_ice(
     smooth_kwargs: Optional[Dict[str, Any]] = None,
     ax=None,
 ):
-    """Individual conditional expectation plot (reference
-    ``utils.py:134-275``): pin all-but-one covariate to each of
-    ``instances`` random rows and trace the response over the remaining
-    one."""
-    all_trees = _all_trees_of(bartrv)
+    """Individual conditional expectation plot (capability parity:
+    reference ``utils.py:134-275``; curves from ``interpret.ice``, which
+    batches all instances into one predict call)."""
+    X, col_names = as_matrix(X)
+    var_idx = list(var_idx) if var_idx is not None else list(range(X.shape[1]))
+    discrete = set(var_discrete or [])
+    labels = _axis_labels(col_names, var_idx)
     rng = np.random.default_rng(random_seed)
-    func = func or _identity
 
-    (X, x_labels, y_label, indices, var_idx, var_discrete, _, _) = (
-        _prepare_plot_data(X, Y, "linear", None, var_idx, var_discrete)
-    )
+    bundles = ice(_posterior_store(bartrv), X, var_idx, instances=instances,
+                  samples=samples, rng=rng, centered=False)
+    if func is not None:
+        for b in bundles:
+            b.curves = func(b.curves)
 
-    fig, axes, shape = _create_figure_axes(bartrv, var_idx, grid, sharey,
-                                           figsize, ax)
+    fig, axes, n_out = _resolve_axes(bartrv, len(var_idx), grid, sharey,
+                                     figsize, ax)
 
-    instances_ary = rng.choice(range(X.shape[0]), replace=False, size=instances)
-    idx_s = list(range(X.shape[0]))
-
-    count = 0
-    for var in var_idx:
-        indices_mi = indices[:]
-        indices_mi.remove(var)
-        y_pred = []
-        for instance in instances_ary:
-            fake_X = X[idx_s]
-            fake_X[:, indices_mi] = X[:, indices_mi][instance]
-            y_pred.append(
-                np.mean(sample_posterior(all_trees, fake_X, rng=rng,
-                                         size=samples), 0)
-            )
-        new_x = fake_X[:, var]
-        p_d = func(np.array(y_pred))
-
-        for s_i in range(shape):
+    panel = 0
+    for b in bundles:
+        for out in range(n_out):
+            curves = b.curves[:, :, out]  # (instances, g)
             if centered:
-                p_di = p_d[:, :, s_i] - p_d[:, :, s_i][:, 0][:, None]
-            else:
-                p_di = p_d[:, :, s_i]
-            if var in var_discrete:
-                axes[count].plot(new_x, p_di.mean(0), "o", color=color_mean)
-                axes[count].plot(new_x, p_di.T, ".", color=color, alpha=alpha)
+                curves = curves - curves[:, :1]
+            target = axes[panel]
+            if b.var in discrete:
+                target.plot(b.xs, curves.mean(0), "o", color=color_mean)
+                target.plot(b.xs, curves.T, ".", color=color, alpha=alpha)
             elif smooth:
-                x_data, y_data = _smooth_mean(new_x, p_di, "ice", smooth_kwargs)
-                axes[count].plot(x_data, y_data.mean(1), color=color_mean)
-                axes[count].plot(x_data, y_data, color=color, alpha=alpha)
+                gx, gy = _smooth_on_grid(b.xs, curves.T, smooth_kwargs)
+                target.plot(gx, gy.mean(1), color=color_mean)
+                target.plot(gx, gy, color=color, alpha=alpha)
             else:
-                idx = np.argsort(new_x)
-                axes[count].plot(new_x[idx], p_di.mean(0)[idx], color=color_mean)
-                axes[count].plot(new_x[idx], p_di.T[idx], color=color,
-                                 alpha=alpha)
-            axes[count].set_xlabel(x_labels[var])
-            count += 1
+                order = np.argsort(b.xs)
+                target.plot(b.xs[order], curves.mean(0)[order],
+                            color=color_mean)
+                target.plot(b.xs[order], curves.T[order], color=color,
+                            alpha=alpha)
+            target.set_xlabel(labels[b.var])
+            panel += 1
 
-    fig.text(-0.05, 0.5, y_label, va="center", rotation="vertical", fontsize=15)
+    fig.text(-0.05, 0.5, _response_label(Y), va="center",
+             rotation="vertical", fontsize=15)
     return axes

@@ -112,6 +112,30 @@ def predict_draw_indices(all_trees: PosteriorForests, X, idx,
     return np.asarray(out)
 
 
+@partial(jax.jit, static_argnames=("depth",))
+def _predict_draws_multimask(forests: Forest, X, rules, masks, depth: int):
+    """vmap the excluded-predict over a batch of exclusion masks:
+    (n_masks, p) bool -> (n_masks, draws, n, k).  One device program
+    computes every mask's predictions (e.g. all PDP panels at once)."""
+    return jax.vmap(
+        lambda mask: _predict_draws_excluded(forests, X, rules, mask, depth)
+    )(masks)
+
+
+def predict_draw_indices_multimask(all_trees: PosteriorForests, X, idx,
+                                   masks: np.ndarray) -> np.ndarray:
+    """Predictions of flat draw indices under several exclusion masks.
+
+    masks: bool (n_masks, p).  Returns (n_masks, len(idx), n, k).
+    """
+    X = jnp.asarray(np.ascontiguousarray(np.asarray(X, np.float32)))
+    rules = jnp.asarray(all_trees.rules)
+    sel = all_trees.select(np.asarray(idx))
+    out = _predict_draws_multimask(sel, X, rules, jnp.asarray(masks),
+                                   all_trees.config.max_depth)
+    return np.asarray(out)
+
+
 def sample_posterior(all_trees, X, rng=None, size=None,
                      excluded: Optional[Sequence[int]] = None) -> np.ndarray:
     """Generate samples from the BART posterior — reference
