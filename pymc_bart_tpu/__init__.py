@@ -11,7 +11,14 @@ Public surface mirrors reference ``pymc_bart/__init__.py:24-47`` plus the
 slice of PyMC the reference depends on (Model, distributions, sample).
 """
 
-from .config import BartConfig, PgbartConfig
+from .config import (
+    BartConfig,
+    ContinuousSplitRule,
+    OneHotSplitRule,
+    PgbartConfig,
+    SplitRule,
+    SubsetSplitRule,
+)
 from .models import (
     BART,
     BARTRV,
@@ -68,6 +75,10 @@ __all__ = [
     "BART",
     "BARTRV",
     "BartConfig",
+    "ContinuousSplitRule",
+    "OneHotSplitRule",
+    "SplitRule",
+    "SubsetSplitRule",
     "Bernoulli",
     "Categorical",
     "Data",

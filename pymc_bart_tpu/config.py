@@ -32,8 +32,45 @@ _RULE_NAMES = {
 }
 
 
+class SplitRule:
+    """Base class of the public split-rule markers.
+
+    The reference exports ``ContinuousSplitRule`` / ``OneHotSplitRule`` /
+    ``SubsetSplitRule`` classes (reference ``docs/api_reference.rst:16``)
+    and also accepts their string names (``tests/test_bart.py:140-155``);
+    ``BART(split_rules=[...])`` here takes either form (or raw int
+    codes).  The classes are markers only — routing itself is the int
+    code dispatched inside the traversal kernels (``ops/trees.py``).
+    """
+
+    code: int = RULE_CONTINUOUS
+
+
+class ContinuousSplitRule(SplitRule):
+    """Route left when ``x <= split_value`` (numeric covariates)."""
+
+    code = RULE_CONTINUOUS
+
+
+class OneHotSplitRule(SplitRule):
+    """Route left when ``x == split_value`` (one-hot encoded columns)."""
+
+    code = RULE_ONEHOT
+
+
+class SubsetSplitRule(SplitRule):
+    """Route left when the category is in a random subset (<= 32 levels)."""
+
+    code = RULE_SUBSET
+
+
 def rule_code(name_or_code) -> int:
-    """Map a reference-style split-rule name (or code) to an int code."""
+    """Map a split rule — class, instance, reference-style name, or int
+    code — to the kernel's int code."""
+    if isinstance(name_or_code, type) and issubclass(name_or_code, SplitRule):
+        return name_or_code.code
+    if isinstance(name_or_code, SplitRule):
+        return name_or_code.code
     if isinstance(name_or_code, int):
         if name_or_code not in (RULE_CONTINUOUS, RULE_ONEHOT, RULE_SUBSET):
             raise ValueError(f"unknown split rule code {name_or_code}")
@@ -65,6 +102,11 @@ class BartConfig:
     n_outputs: int = 1
     # split rules, one code per column; None means all-continuous.
     split_rules: Optional[Tuple[int, ...]] = None
+    # multi-output: one tree structure with n_outputs leaf values per
+    # node (False, default), or n_outputs fully separate forests sharing
+    # the likelihood (True — reference CHANGELOG.md:385 "Allow training
+    # separate tree structures if training multiple trees")
+    separate_trees: bool = False
 
     @property
     def n_nodes(self) -> int:

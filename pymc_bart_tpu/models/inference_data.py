@@ -108,6 +108,10 @@ class DataArray:
         other = np.asarray(other)
         return self.values == other
 
+    # __eq__ returns an array (xarray-style), so identity-hash explicitly
+    # to keep DataArray objects usable in sets/dicts
+    __hash__ = object.__hash__
+
     def all(self):
         return self.values.all()
 

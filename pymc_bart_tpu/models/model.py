@@ -201,7 +201,7 @@ class BARTRV(Expr):
 
     def __init__(self, name, X, Y, m=50, alpha=0.95, beta=2.0,
                  response="constant", split_rules=None, split_prior=None,
-                 shape=None, dims=None, max_depth=6,
+                 shape=None, dims=None, max_depth=6, separate_trees=False,
                  model: Optional[Model] = None, **kwargs):
         if response in ("linear", "mix"):
             warnings.warn(
@@ -239,6 +239,7 @@ class BARTRV(Expr):
             m=m, alpha=alpha, beta=beta, response=response,
             max_depth=max_depth, n_outputs=n_outputs,
             split_rules=rules if rules else None,
+            separate_trees=bool(separate_trees) and n_outputs > 1,
         )
         self.split_prior = (
             np.asarray(split_prior, dtype=np.float64)

@@ -65,12 +65,18 @@ def sample_posterior_predictive(
         pf = brv.all_trees
         if pf is None:
             continue
-        same = (X_cur.shape == pf.X_train.shape) and np.array_equal(
-            np.nan_to_num(X_cur), np.nan_to_num(pf.X_train)
+        ref = pf[0] if isinstance(pf, list) else pf
+        same = (X_cur.shape == ref.X_train.shape) and np.array_equal(
+            np.nan_to_num(X_cur), np.nan_to_num(ref.X_train)
         )
         if not same:
-            idx = np.arange(pf.n_total)
-            pred = predict_draw_indices(pf, X_cur, idx)  # (total, n_new, k)
+            idx = np.arange(ref.n_total)
+            if isinstance(pf, list):  # separate trees: one store per output
+                pred = np.concatenate(
+                    [predict_draw_indices(p_, X_cur, idx) for p_ in pf],
+                    axis=-1)  # (total, n_new, k)
+            else:
+                pred = predict_draw_indices(pf, X_cur, idx)
             if len(brv.shape) == 1:
                 env_flat[brv.name] = pred[..., 0]
             else:

@@ -203,17 +203,36 @@ class PGBART:
 def _make_loglik(compiled: CompiledModel, vname: str):
     """Particle-weight log-likelihood for one BART variable.
 
-    lik_params = (theta, other_bart_internal dict).  Constant terms shared
-    by all particles cancel in the weight normalization."""
+    lik_params = (theta, bart_internal dict with CURRENT values — this
+    variable's entry is overwritten by the candidate f).  Constant terms
+    shared by all particles cancel in the weight normalization."""
 
     def loglik(f, lik_params):
-        theta, others = lik_params
-        bart_internal = dict(others)
+        theta, internal = lik_params
+        bart_internal = dict(internal)
         bart_internal[vname] = f
         env, _ = compiled.build_env(theta, bart_internal)
         return compiled.observed_logp(env)
 
     loglik.__name__ = f"loglik_{vname}"
+    return loglik
+
+
+def _make_loglik_output(compiled: CompiledModel, vname: str, out: int):
+    """Like ``_make_loglik`` but the candidate f (n, 1) replaces only
+    output column ``out`` of the variable (separate-trees mode: each
+    output's forest is updated by its own conditional SMC while the
+    other outputs' sums stay fixed)."""
+
+    def loglik(f, lik_params):
+        theta, internal = lik_params
+        full = jax.lax.dynamic_update_slice(internal[vname], f, (0, out))
+        bart_internal = dict(internal)
+        bart_internal[vname] = full
+        env, _ = compiled.build_env(theta, bart_internal)
+        return compiled.observed_logp(env)
+
+    loglik.__name__ = f"loglik_{vname}_out{out}"
     return loglik
 
 
@@ -268,18 +287,35 @@ def sample(
             for vname in st.var_names:
                 pg_cfgs[vname] = st.config
 
+    # one sampler entry per forest: a BART RV contributes one entry, or
+    # n_outputs entries when separate_trees=True (each output its own
+    # forest sharing the likelihood — reference CHANGELOG.md:385)
+    import dataclasses as _dc
+
     bart_static = []
     for brv in compiled.bart_rvs:
         X = jnp.asarray(brv.X, jnp.float32)
         n, k = X.shape[0], brv.config.n_outputs
         Yt = jnp.asarray(_bart_growth_target(model, brv), jnp.float32)
         rules = jnp.asarray(brv.rules_array())
-        bart_static.append(
-            dict(name=brv.name, X=X, Yt=Yt, rules=rules, cfg=brv.config,
-                 pg=pg_cfgs[brv.name], loglik=_make_loglik(compiled, brv.name),
-                 split_prior=brv.split_prior,
-                 gauss_sigma=_gaussian_fused(model, brv))
-        )
+        if brv.config.separate_trees and k > 1:
+            cfg1 = _dc.replace(brv.config, n_outputs=1, separate_trees=False)
+            for j in range(k):
+                bart_static.append(
+                    dict(name=brv.name, out=j, k_group=k, X=X,
+                         Yt=Yt[:, j:j + 1], rules=rules, cfg=cfg1,
+                         pg=pg_cfgs[brv.name],
+                         loglik=_make_loglik_output(compiled, brv.name, j),
+                         split_prior=brv.split_prior, gauss_sigma=None)
+                )
+        else:
+            bart_static.append(
+                dict(name=brv.name, out=None, k_group=k, X=X, Yt=Yt,
+                     rules=rules, cfg=brv.config, pg=pg_cfgs[brv.name],
+                     loglik=_make_loglik(compiled, brv.name),
+                     split_prior=brv.split_prior,
+                     gauss_sigma=_gaussian_fused(model, brv))
+            )
 
     theta0 = compiled.initial_theta()
     n_bart = len(bart_static)
@@ -297,8 +333,16 @@ def sample(
         return bart_states, h
 
     def bart_internal_values(bart_states):
-        return {bart_static[i]["name"]: bart_states[i].sum_trees
-                for i in range(n_bart)}
+        cols: Dict[str, Any] = {}
+        for i, bs in enumerate(bart_static):
+            if bs["out"] is None:
+                cols[bs["name"]] = bart_states[i].sum_trees
+            else:
+                group = cols.setdefault(bs["name"], [None] * bs["k_group"])
+                group[bs["out"]] = bart_states[i].sum_trees[:, 0]
+        return {nm: (v if not isinstance(v, list)
+                     else jnp.stack(v, axis=1))
+                for nm, v in cols.items()}
 
     def hmc_logp(theta, params):
         (bart_vals,) = params
@@ -310,14 +354,11 @@ def sample(
         vis = []
         bart_states = list(bart_states)
         for i, bs in enumerate(bart_static):
-            others = {bart_static[j]["name"]: bart_states[j].sum_trees
-                      for j in range(n_bart) if j != i}
-            lik_params = (h.theta, others)
+            internal_now = bart_internal_values(bart_states)
+            lik_params = (h.theta, internal_now)
             gauss_w = None
             if bs["gauss_sigma"] is not None:
-                all_barts = {bart_static[j]["name"]: bart_states[j].sum_trees
-                             for j in range(n_bart)}
-                env, _ = compiled.build_env(h.theta, all_barts)
+                env, _ = compiled.build_env(h.theta, internal_now)
                 sigma = jnp.asarray(evaluate(bs["gauss_sigma"], env),
                                     jnp.float32)
                 n_i = bs["X"].shape[0]
@@ -357,11 +398,9 @@ def sample(
     def collect(carry):
         bart_states, h = carry
         out = {}
-        bart_internal = {bart_static[i]["name"]: bart_states[i].sum_trees
-                         for i in range(n_bart)}
-        for i, bs in enumerate(bart_static):
-            out[bs["name"]] = compiled.bart_external(
-                bs["name"], bart_internal[bs["name"]])
+        bart_internal = bart_internal_values(bart_states)
+        for nm, val in bart_internal.items():
+            out[nm] = compiled.bart_external(nm, val)
         param_env, _ = compiled.unpack_theta(h.theta)
         out.update(param_env)
         if model.deterministics:
@@ -378,9 +417,14 @@ def sample(
         carry, (vis, accept) = one_step(carry, k, False)
         bart_states, h = carry
         values = collect(carry)
-        vi_pad = jnp.stack([
-            jnp.pad(v, (0, p_max - v.shape[0])) for v in vis
-        ]) if vis else jnp.zeros((0, p_max))
+        # one inclusion row per BART RV: a separate-trees group reports
+        # the sum of its per-output forests' split counts
+        by_rv: Dict[str, Any] = {}
+        for bs, v in zip(bart_static, vis):
+            v = jnp.pad(v, (0, p_max - v.shape[0]))
+            by_rv[bs["name"]] = by_rv.get(bs["name"], 0) + v
+        vi_pad = (jnp.stack([by_rv[b.name] for b in compiled.bart_rvs])
+                  if by_rv else jnp.zeros((0, p_max)))
         snap = None
         if store_trees:
             snap = tuple(
@@ -457,6 +501,7 @@ def sample(
 
     carry = jit_init(chain_keys)
     start_tune, start_draw = 0, 0
+    acc: List = []
     if checkpoint_dir is not None and resume:
         found = ckpt_mod.latest_checkpoint(checkpoint_dir)
         if found is not None:
@@ -467,6 +512,11 @@ def sample(
             else:
                 start_tune = tune
                 start_draw = step - tune
+                # draws collected before the interruption are reloaded so
+                # the resumed run returns the FULL posterior, not only the
+                # remaining draws
+                acc = ckpt_mod.load_draw_chunks(checkpoint_dir,
+                                                upto_step=step)
 
     def maybe_checkpoint(carry, step):
         if checkpoint_dir is not None:
@@ -495,16 +545,18 @@ def sample(
         jax.config.update("jax_debug_nans", True)
     if profile_dir is not None:
         jax.profiler.start_trace(profile_dir)
-    acc: List = []
     t = start_draw
     draw_t0 = time.perf_counter()
     try:
         while t < draws:
             c = min(chunk_size, draws - t)
             carry, outs = jit_draw(carry, chunk_keys(1, t, c))
-            acc.append(jax.device_get(outs))
+            host_outs = jax.device_get(outs)
+            acc.append(host_outs)
             t += c
             maybe_checkpoint(carry, tune + t)
+            if checkpoint_dir is not None:
+                ckpt_mod.save_draw_chunk(checkpoint_dir, tune + t, host_outs)
             if progressbar:
                 rate = (t - start_draw) * chains / max(
                     time.perf_counter() - draw_t0, 1e-9)
@@ -560,14 +612,21 @@ def sample(
         }),
     )
 
-    # attach posterior forests to each BART RV (the all_trees equivalent)
+    # attach posterior forests to each BART RV (the all_trees equivalent);
+    # a separate-trees RV gets a LIST of per-output stores — the same
+    # layout the reference uses for per-output tree lists (utils.py:70-85)
     if store_trees and snaps is not None:
-        for i, brv in enumerate(compiled.bart_rvs):
+        by_name: Dict[str, List[PosteriorForests]] = {}
+        for i, bs in enumerate(bart_static):
             sv, sl, ss, lf, ct, sp = (np.asarray(a) for a in snaps[i])
-            brv.all_trees = PosteriorForests(
+            store = PosteriorForests(
                 split_var=sv, split_val=sl, split_set=ss, leaf=lf, count=ct,
-                slope=sp, config=brv.config, rules=brv.rules_array(),
-                X_train=np.asarray(brv.X),
+                slope=sp, config=bs["cfg"], rules=np.asarray(bs["rules"]),
+                X_train=np.asarray(bs["X"]),
             )
+            by_name.setdefault(bs["name"], []).append(store)
+        for brv in compiled.bart_rvs:
+            stores = by_name[brv.name]
+            brv.all_trees = stores[0] if len(stores) == 1 else stores
     idata._model = model  # convenience backref
     return idata

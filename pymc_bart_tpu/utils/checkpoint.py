@@ -51,6 +51,39 @@ def latest_checkpoint(directory: str) -> Optional[Tuple[str, int]]:
     return path, step
 
 
+def save_draw_chunk(directory: str, step: int, outs) -> str:
+    """Persist one collected draw chunk (host pytree) next to the state
+    checkpoints, so ``resume=True`` keeps the draws already sampled
+    instead of only the carry."""
+    import pickle
+
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, f"draws_{step:08d}.pkl")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(outs, f)
+    os.replace(tmp, path)
+    return path
+
+
+def load_draw_chunks(directory: str, upto_step: Optional[int] = None) -> list:
+    """Draw chunks saved by ``save_draw_chunk``, in step order."""
+    import pickle
+
+    if not os.path.isdir(directory):
+        return []
+    out = []
+    for fname in sorted(os.listdir(directory)):
+        if not (fname.startswith("draws_") and fname.endswith(".pkl")):
+            continue
+        step = int(fname[6:-4])
+        if upto_step is not None and step > upto_step:
+            continue
+        with open(os.path.join(directory, fname), "rb") as f:
+            out.append(pickle.load(f))
+    return out
+
+
 def load_checkpoint(path: str, like_state):
     """Restore a pytree saved by ``save_checkpoint`` into the structure of
     ``like_state`` (shapes/dtypes must match)."""

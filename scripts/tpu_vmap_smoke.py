@@ -4,9 +4,15 @@ Validates that (a) the whole-draw megakernel and (b) the per-round
 grow/SMC/select kernel path compile and execute under a chain vmap on the
 real chip — the configuration bench.py times.  Tiny shapes for fast
 compiles.  Run: python scripts/tpu_vmap_smoke.py [mega|rounds|both]
+
+``both`` re-execs each mode in its OWN subprocess: the kernel choice is
+read from PYMC_BART_TPU_MEGAKERNEL at trace time, so flipping the env
+var inside one process would silently reuse the first mode's cached
+trace and never exercise the second path.
 """
 
 import os
+import subprocess
 import sys
 import time
 
@@ -15,6 +21,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 mode = sys.argv[1] if len(sys.argv) > 1 else "both"
+
+if mode == "both":
+    for sub in ("mega", "rounds"):
+        rc = subprocess.run([sys.executable, os.path.abspath(__file__), sub])
+        if rc.returncode != 0:
+            sys.exit(rc.returncode)
+    sys.exit(0)
 
 import jax
 import jax.numpy as jnp
@@ -55,8 +68,10 @@ def run(tag, gw):
 
 
 print("backend:", jax.default_backend(), jax.devices())
-if mode in ("mega", "both"):
+if mode == "mega":
     run("megakernel(vmap)", gauss_w)
-if mode in ("rounds", "both"):
+elif mode == "rounds":
     os.environ["PYMC_BART_TPU_MEGAKERNEL"] = "0"
     run("grow-rounds(vmap)", gauss_w)
+else:
+    raise SystemExit(f"unknown mode {mode!r}")

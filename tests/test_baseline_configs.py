@@ -80,6 +80,40 @@ def test_heteroscedastic_two_output():
     assert r > 0.8, r
 
 
+def test_heteroscedastic_separate_trees():
+    # separate tree structures per output (reference CHANGELOG.md:385):
+    # each output trains its OWN forest; the mean output must track the
+    # mean signal AND the scale output must track the scale signal
+    rng = np.random.default_rng(12)
+    n = 150
+    X = rng.uniform(-1, 1, size=(n, 2))
+    mu_true = np.where(X[:, 0] > 0, 3.0, -3.0)
+    sd_true = np.where(X[:, 1] > 0, 2.0, 0.3)
+    Y = rng.normal(mu_true, sd_true)
+
+    with pmb.Model():
+        w = pmb.BART("w", X, Y, m=20, shape=(2, n), separate_trees=True)
+        pmb.Normal("y", w[0], pmb.math.abs(w[1]) + 0.05, observed=Y)
+        idata = pmb.sample(tune=200, draws=150, chains=1, random_seed=3)
+
+    w_post = idata.posterior["w"].values.mean(axis=(0, 1))  # (2, n)
+    r_mu = np.corrcoef(w_post[0], mu_true)[0, 1]
+    assert r_mu > 0.8, r_mu
+    # the scale output: |w1| must be larger where the true sd is larger
+    scale_hat = np.abs(w_post[1])
+    hi, lo = scale_hat[X[:, 1] > 0].mean(), scale_hat[X[:, 1] <= 0].mean()
+    assert hi > 1.3 * lo, (hi, lo)
+
+    # separate-trees posterior store: one forest per output, and the
+    # interpretability layer runs through the list layout
+    from pymc_bart_tpu.utils.posterior import sample_posterior
+
+    model_w = w
+    assert isinstance(model_w.all_trees, list) and len(model_w.all_trees) == 2
+    preds = sample_posterior(model_w.all_trees, X, size=4)
+    assert preds.shape == (4, n, 2)
+
+
 def test_highdim_variable_selection():
     # BASELINE config 5: p=1000 sparse X; signal on first 3 covariates
     rng = np.random.default_rng(3)
@@ -96,13 +130,17 @@ def test_highdim_variable_selection():
         idata = pmb.sample(tune=300, draws=100, chains=2, random_seed=4,
                            num_particles=40, batch=(0.5, 0.5))
 
-    # Discovery at p=1000 with n=120 and a uniform proposal is a search
-    # problem: require at least one true covariate to reach the top-10
-    # (each chain's chance for a noise var is ~1%/slot).
+    # With Dirichlet-style split-prior adaptation (full per-split counts,
+    # sampler/pgbart.py) the three signal covariates are recovered as the
+    # TOP-3 by inclusion at p=1000.  Measured combined inclusion mass on
+    # {0,1,2}: 0.398 at tune=300, 0.466 at tune=500 — the remainder is
+    # deep-node splits on noise columns that a flat likelihood cannot
+    # penalize, so the bar is set at 0.3 for this budget.
     vi = idata["sample_stats"]["variable_inclusion"].values.sum(axis=(0, 1))[0]
-    top = set(np.argsort(vi)[::-1][:10])
-    hits = len(top & {0, 1, 2})
-    assert hits >= 1, (sorted(top), vi[:5])
+    order = np.argsort(vi)[::-1]
+    assert set(order[:3]) == {0, 1, 2}, (order[:10].tolist(), vi[:5])
+    mass = vi[:3].sum() / vi.sum()
+    assert mass > 0.3, mass
     # interpretability machinery runs at p=1000 (restricted var set)
     pmb.plot_pdp(mu, X=X, Y=Y, var_idx=[0, 1, 2], samples=10)
 
@@ -128,10 +166,14 @@ def test_checkpoint_resume(tmp_path):
     found = ck.latest_checkpoint(ckdir)
     assert found is not None
     assert found[1] == 20  # tune + draws steps recorded
-    # resume: ask for more draws; the tuned state is restored and only the
-    # remaining draws run
+    # resume: ask for more draws; the tuned state is restored, only the
+    # remaining draws run, and the draws already collected before the
+    # interruption are reloaded — the result is the FULL posterior
     model2 = build()
     idata2 = pmb.sample(tune=10, draws=20, chains=1, random_seed=5,
                         model=model2, chunk_size=10, checkpoint_dir=ckdir,
                         resume=True)
-    assert idata2.posterior["mu"].shape == (1, 10, 40)
+    assert idata2.posterior["mu"].shape == (1, 20, 40)
+    # the first 10 draws are the original run's draws, bit-for-bit
+    np.testing.assert_array_equal(np.asarray(idata2.posterior["mu"])[:, :10],
+                                  np.asarray(idata.posterior["mu"]))
