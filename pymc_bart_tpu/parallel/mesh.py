@@ -43,7 +43,13 @@ def make_mesh(n_chain_shards: Optional[int] = None, n_data_shards: int = 1,
 
     Defaults to all visible devices on the chains axis.  With
     ``n_data_shards > 1`` the device grid is (chains, data) and row-space
-    reductions ride ICI within a data group.
+    reductions ride ICI within a data group: pass
+    ``pgbart_step(..., data_axis="data")`` inside a shard_map whose row
+    arrays (X, targets, tree_pred, sum_trees, Welford stats) carry
+    PartitionSpec("data") — child sufficient statistics, likelihood
+    sums and the split-value winner then psum/pmax over the axis (see
+    tests/test_data_sharding.py for both the exactness proof and the
+    end-to-end pattern).
     """
     if devices is None:
         devices = jax.devices()

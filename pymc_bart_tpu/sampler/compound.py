@@ -65,6 +65,40 @@ def _gaussian_fused(model: Model, brv: BARTRV):
     return sigma_expr
 
 
+def _jitter_duplicate_values(X: np.ndarray, rules: np.ndarray,
+                             seed: int) -> np.ndarray:
+    """Pre-jitter duplicated values of continuous-rule columns, once at
+    setup (reference CHANGELOG.md:296-299 "Add jitter to duplicated
+    split values").
+
+    Heavy ties make grow proposals fail: a split at a tied value routes
+    the whole tie group one way, so the empty-child revert fires far
+    more often on discrete-ish continuous columns.  Tied entries get a
+    deterministic uniform jitter well below the column's distinct-value
+    gap (ordering against distinct neighbors is preserved); the jittered
+    matrix is used for GROWTH/ROUTING only — stored forests predict on
+    the raw covariates.
+    """
+    X = np.array(X, np.float32, copy=True)
+    rng = np.random.default_rng(seed)
+    for j in range(X.shape[1]):
+        if rules[j] != 0:  # RULE_CONTINUOUS only
+            continue
+        col = X[:, j]
+        finite = np.isfinite(col)
+        vals, counts = np.unique(col[finite], return_counts=True)
+        if vals.size == 0 or not (counts > 1).any():
+            continue
+        scale = 1e-6 * max(float(np.nanstd(col)), abs(float(vals[0])), 1.0)
+        if vals.size > 1:
+            scale = min(scale, 0.4 * float(np.min(np.diff(vals))))
+        dup = finite & np.isin(col, vals[counts > 1])
+        col[dup] += rng.uniform(-scale, scale,
+                                int(dup.sum())).astype(np.float32)
+        X[:, j] = col
+    return X
+
+
 def _bart_growth_target(model: Model, brv: BARTRV) -> np.ndarray:
     """Per-output regression target (n, k) for leaf-value proposals.
 
@@ -89,7 +123,10 @@ def _bart_growth_target(model: Model, brv: BARTRV) -> np.ndarray:
                 continue
             labels = np.asarray(orv.observed).astype(int)
             if orv.dist is CategoricalDist and labels.size == n and labels.max() < k:
-                return np.eye(k)[labels.reshape(-1)]
+                # +-2 logit targets (not {0,1}): a one-unit logit gap
+                # barely separates softmax classes, and the refinement's
+                # proposal-prior keeps leaf values near the target scale
+                return 4.0 * np.eye(k)[labels.reshape(-1)] - 2.0
     return np.broadcast_to(Y, (n, k)).copy()
 
 
@@ -256,6 +293,7 @@ def sample(
     resume: bool = False,
     profile_dir: Optional[str] = None,
     debug_nans: bool = False,
+    jitter_duplicates: bool = True,
 ) -> InferenceData:
     """Run the compound PGBART(+HMC) sampler and return InferenceData.
 
@@ -294,7 +332,11 @@ def sample(
 
     bart_static = []
     for brv in compiled.bart_rvs:
-        X = jnp.asarray(brv.X, jnp.float32)
+        X_np = np.asarray(brv.X, np.float32)
+        if jitter_duplicates:
+            X_np = _jitter_duplicate_values(
+                X_np, brv.rules_array(), seed=int(random_seed) ^ 0x5EED)
+        X = jnp.asarray(X_np)
         n, k = X.shape[0], brv.config.n_outputs
         Yt = jnp.asarray(_bart_growth_target(model, brv), jnp.float32)
         rules = jnp.asarray(brv.rules_array())

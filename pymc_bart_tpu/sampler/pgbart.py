@@ -106,17 +106,26 @@ def init_state(X, Y_target, cfg: BartConfig, split_prior=None) -> PgbartState:
 # ---------------------------------------------------------------------------
 
 
-def _child_stats(leaf_idx, resid, lo: int, width: int):
-    """Counts and residual sums for node slots [lo, lo+width)."""
+def _child_stats(leaf_idx, resid, lo: int, width: int, data_axis=None):
+    """Counts and residual sums for node slots [lo, lo+width).
+
+    With ``data_axis`` set (rows sharded over a mesh axis inside
+    shard_map), the sufficient statistics are psum-reduced over the row
+    shards (SURVEY 2.4 "data parallelism over rows").
+    """
     slots = lo + jnp.arange(width, dtype=jnp.int32)
     onehot = (leaf_idx[:, None] == slots[None, :]).astype(jnp.float32)
     counts = onehot.sum(axis=0)
     sums = jnp.einsum("nw,nk->wk", onehot, resid, preferred_element_type=jnp.float32)
+    if data_axis is not None:
+        counts = jax.lax.psum(counts, data_axis)
+        sums = jax.lax.psum(sums, data_axis)
     return counts, sums
 
 
 def _grow_round(rands, frozen, sv, sl, st, lf, ct, sp, leaf_idx, d: int, X,
-                rules, alpha_cdf, leaf_sd, resid, cfg: BartConfig):
+                rules, alpha_cdf, leaf_sd, resid, cfg: BartConfig,
+                data_axis=None):
     """One depth-synchronous growth round for a single particle.
 
     frozen: bool[] — if True, replay the stored tree one level instead of
@@ -124,6 +133,13 @@ def _grow_round(rands, frozen, sv, sl, st, lf, ct, sp, leaf_idx, d: int, X,
     ``rands`` is a dict of pre-drawn random numbers for this particle and
     round (drawn batched in _update_one_tree; also feeds the fused Pallas
     kernel so both paths are bit-identical).
+
+    ``data_axis``: mesh axis name when ROWS are sharded (X, resid,
+    leaf_idx and ``rands["row_gum"]`` hold this shard's rows; node-level
+    state and node-level randoms are replicated).  Child sufficient
+    statistics ride a psum and the split-value row is the global
+    Gumbel-max winner — given the same global randoms the sharded round
+    equals the unsharded one exactly (tests/test_data_sharding.py).
     Returns updated (sv, sl, st, lf, ct, sp, leaf_idx).
     """
     n, p = X.shape
@@ -149,6 +165,14 @@ def _grow_round(rands, frozen, sv, sl, st, lf, ct, sp, leaf_idx, d: int, X,
     scores = jnp.where(in_node, row_gum[:, None], -jnp.inf)
     row_sel = jnp.argmax(scores, axis=0).astype(jnp.int32)
     val_s = X[row_sel, var_s]
+    if data_axis is not None:
+        # global winner: the shard holding the max Gumbel contributes
+        # the value (continuous Gumbels make cross-shard ties null)
+        my_max = jnp.max(scores, axis=0)                       # (G,)
+        g_max = jax.lax.pmax(my_max, data_axis)
+        owner = (my_max >= g_max) & jnp.isfinite(g_max)
+        val_s = jax.lax.psum(jnp.where(owner, val_s, 0.0), data_axis)
+        val_s = jnp.where(jnp.isfinite(g_max), val_s, jnp.nan)
     # subset-rule bitmask: random categories, always including the
     # selected row's own category so the left child is non-empty.
     own_cat = jnp.clip(jnp.nan_to_num(val_s, nan=0.0).astype(jnp.int32), 0, 31)
@@ -175,7 +199,7 @@ def _grow_round(rands, frozen, sv, sl, st, lf, ct, sp, leaf_idx, d: int, X,
     # (reference semantics: a proposed split with an empty child fails)
     kk = cfg.n_outputs
     if cfg.response == "constant":
-        ccounts, csums = _child_stats(tentative, resid, hi, 2 * G)
+        ccounts, csums = _child_stats(tentative, resid, hi, 2 * G, data_axis)
     else:
         # linear leaf response (reference bart.py:85-87): per-child least-
         # squares fit of the residual against the parent's split covariate.
@@ -259,26 +283,41 @@ def _pallas_enabled(cfg: BartConfig, X) -> bool:
 
 def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
                      X, rules, cfg: BartConfig, pg: PgbartConfig,
-                     loglik_fn: Callable, lik_params, gauss_w=None):
-    """Run the conditional SMC for a single tree; return (new tree, pred)."""
+                     loglik_fn: Callable, lik_params, gauss_w=None,
+                     data_axis=None):
+    """Run the conditional SMC for a single tree; return (new tree, pred).
+
+    ``data_axis``: mesh axis name when rows are sharded (X/resid/gauss_w
+    hold this shard's rows).  Sufficient statistics, likelihood sums and
+    the split-value winner ride psum/pmax over the axis; with a custom
+    ``loglik_fn`` the function itself must psum its row sum.  Pallas
+    paths are disabled (per-device kernels see only local rows).
+    """
     P = pg.num_particles
     S = cfg.n_nodes
     n, _ = X.shape
     k = cfg.n_outputs
     D = cfg.max_depth
     k_init, key = jax.random.split(key)
+    if data_axis is None:
+        n_glob = jnp.float32(n)
+    else:
+        n_glob = jax.lax.psum(jnp.float32(n), data_axis)
 
     # particle 0 = frozen copy of the current tree; others = root leaves
     def broadcast0(old, fresh):
         return jnp.concatenate([old[None], jnp.broadcast_to(fresh, (P - 1,) + fresh.shape)], 0)
 
-    root_mu = resid.mean(axis=0) / cfg.m  # (k,)
+    root_sum = resid.sum(axis=0)
+    if data_axis is not None:
+        root_sum = jax.lax.psum(root_sum, data_axis)
+    root_mu = root_sum / n_glob / cfg.m  # (k,)
     sv = broadcast0(tree.split_var, jnp.full((S,), -1, jnp.int32))
     sl = broadcast0(tree.split_val, jnp.zeros((S,), jnp.float32))
     st = broadcast0(tree.split_set, jnp.zeros((S,), jnp.uint32))
     fresh_lf = jnp.zeros((S, k), jnp.float32).at[0, :].set(root_mu)
     lf = broadcast0(tree.leaf, fresh_lf)
-    fresh_ct = jnp.zeros((S,), jnp.float32).at[0].set(float(n))
+    fresh_ct = jnp.zeros((S,), jnp.float32).at[0].set(1.0) * n_glob
     ct = broadcast0(tree.count, fresh_ct)
     sp = broadcast0(tree.slope, jnp.zeros((S, k), jnp.float32))
     leaf_idx = jnp.zeros((P, n), jnp.int32)
@@ -289,13 +328,18 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
     def particle_pred(sv_p, lf_p, sp_p, li_p):
         return leaf_values_at(sv_p, lf_p, sp_p, X, li_p)  # (n, k)
 
-    use_pallas = _pallas_enabled(cfg, X)
+    use_pallas = _pallas_enabled(cfg, X) and data_axis is None
     fused_gauss = use_pallas and (gauss_w is not None)
+    sharded_gauss = data_axis is not None and gauss_w is not None
 
     def eval_ll(pred_all):
         if fused_gauss:  # constant-free Gaussian ll, matches the kernel's
             diff = resid[None] - pred_all
             return -0.5 * jnp.sum(gauss_w[None] * diff * diff, axis=(1, 2))
+        if sharded_gauss:  # row-sharded Gaussian ll: psum the row sums
+            diff = resid[None] - pred_all
+            local = -0.5 * jnp.sum(gauss_w[None] * diff * diff, axis=(1, 2))
+            return jax.lax.psum(local, data_axis)
         return jax.vmap(lambda f: loglik_fn(sum_noi + f, lik_params))(pred_all)
 
     pred = jax.vmap(particle_pred)(sv, lf, sp, leaf_idx)
@@ -318,6 +362,10 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
     # index by the level offset 2^d - 1
     Gtot = 2**D - 1
     key, k1, k2, k3, k4, k5, k6, k_res_all = jax.random.split(key, 8)
+    if data_axis is not None:
+        # row-shaped randoms must differ per shard; node-shaped randoms
+        # and the SMC/selection uniforms stay replicated
+        k3 = jax.random.fold_in(k3, jax.lax.axis_index(data_axis))
     u_grow_all = jax.random.uniform(k1, (P, Gtot))
     u_var_all = jax.random.uniform(k2, (P, Gtot))
     row_gum_all = jax.random.gumbel(k3, (D, P, n))
@@ -355,7 +403,7 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
             sv, sl, st, lf, ct, sp, leaf_idx = jax.vmap(
                 lambda r_, fz, a, b, c, e, f_, g_, h_: _grow_round(
                     r_, fz, a, b, c, e, f_, g_, h_, d, X, rules, alpha_cdf,
-                    leaf_sd, resid, cfg
+                    leaf_sd, resid, cfg, data_axis=data_axis
                 )
             )(rands, frozen, sv, sl, st, lf, ct, sp, leaf_idx)
             pred = jax.vmap(particle_pred)(sv, lf, sp, leaf_idx)
@@ -448,6 +496,8 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
         half_inv_var = 0.5 / (leaf_sd * leaf_sd)  # (k,)
         # per-leaf residual means (structure is fixed during refinement)
         leaf_rsum = jax.ops.segment_sum(resid, li_w, num_segments=S)
+        if data_axis is not None:
+            leaf_rsum = jax.lax.psum(leaf_rsum, data_axis)
         prior_center = leaf_rsum / jnp.maximum(ct_w, 1.0)[:, None] / cfg.m
 
         def one_ll(pred_x):
@@ -511,10 +561,11 @@ def _megakernel_enabled(cfg: BartConfig, pg: PgbartConfig, X, gauss_w) -> bool:
     return _pallas_enabled(cfg, X)
 
 
-@partial(jax.jit, static_argnames=("cfg", "pg", "loglik_fn", "tuning"))
+@partial(jax.jit, static_argnames=("cfg", "pg", "loglik_fn", "tuning",
+                                   "data_axis"))
 def pgbart_step(key, state: PgbartState, X, Y_target, rules,
                 cfg: BartConfig, pg: PgbartConfig, loglik_fn: Callable,
-                lik_params, tuning: bool, gauss_w=None):
+                lik_params, tuning: bool, gauss_w=None, data_axis=None):
     """One PGBART MCMC step (one chain): update a rotating batch of trees.
 
     ``loglik_fn(f, lik_params) -> scalar`` is the model log-likelihood of a
@@ -522,13 +573,22 @@ def pgbart_step(key, state: PgbartState, X, Y_target, rules,
     function so the jit cache is reused — per-step traced quantities (e.g.
     the current sigma draw) ride in ``lik_params``.
 
+    ``data_axis``: mesh axis name for ROW-sharded sampling inside
+    shard_map (large-n configs, SURVEY 2.4): the per-chain state keeps
+    only this shard's rows of X / Y_target / tree_pred / sum_trees while
+    tree structures stay replicated; cross-shard reductions ride
+    psum/pmax on ICI.  See tests/test_data_sharding.py.
+
     Returns (new_state, variable_inclusion_counts float32[p]).
     """
-    if _megakernel_enabled(cfg, pg, X, gauss_w):
+    if data_axis is None and _megakernel_enabled(cfg, pg, X, gauss_w):
         from ..ops.draw_pallas import pgbart_step_fused
 
+        # on the real chip the row-Gumbel block is generated in-kernel
+        # by the Mosaic PRNG (no interpret-mode lowering on CPU)
+        mode = "kernel" if jax.default_backend() == "tpu" else "batched"
         return pgbart_step_fused(key, state, X, Y_target, rules, cfg, pg,
-                                 gauss_w, tuning)
+                                 gauss_w, tuning, rng_mode=mode)
     m = cfg.m
     B = pg.batch_size(m, tuning)
     n, p = X.shape
@@ -545,6 +605,7 @@ def pgbart_step(key, state: PgbartState, X, Y_target, rules,
         new_tree, pred = _update_one_tree(
             k_tree, tree, sum_noi, resid, alpha_vec, leaf_sd,
             X, rules, cfg, pg, loglik_fn, lik_params, gauss_w=gauss_w,
+            data_axis=data_axis,
         )
         forest = Forest(
             forest.split_var.at[jt].set(new_tree.split_var),
@@ -577,7 +638,14 @@ def pgbart_step(key, state: PgbartState, X, Y_target, rules,
             delta = pred - wf_mean
             wf_mean = wf_mean + delta / wf_count
             wf_m2 = wf_m2 + delta * (pred - wf_mean)
-            sd = jnp.sqrt(jnp.maximum(wf_m2 / jnp.maximum(wf_count, 1.0), 1e-12)).mean(axis=0)
+            sd_sum = jnp.sqrt(
+                jnp.maximum(wf_m2 / jnp.maximum(wf_count, 1.0), 1e-12)
+            ).sum(axis=0)
+            if data_axis is None:
+                sd = sd_sum / X.shape[0]
+            else:
+                sd = (jax.lax.psum(sd_sum, data_axis)
+                      / jax.lax.psum(jnp.float32(X.shape[0]), data_axis))
             leaf_sd = jnp.where(iteration > m, jnp.maximum(sd, 1e-6), leaf_sd)
 
         return (forest, tree_pred, sum_trees, alpha_vec, leaf_sd,

@@ -1,0 +1,149 @@
+"""Row ("data" axis) sharding of the PGBART growth round.
+
+For n >> 10^4 the rows of X/residuals can be sharded over a mesh axis
+(SURVEY 2.4): child sufficient statistics ride a psum, the split-value
+row is the global Gumbel-max winner via pmax, and likelihood sums psum.
+``test_grow_round_sharded_exact`` proves the sharded round equals the
+unsharded one EXACTLY given the same global randoms on a virtual
+8-device CPU mesh; ``test_pgbart_step_row_sharded`` runs the full step
+under shard_map and checks the replicated tree state is globally
+consistent and the fit improves.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jax.sharding import Mesh, PartitionSpec as P
+
+from pymc_bart_tpu.config import BartConfig, PgbartConfig
+from pymc_bart_tpu.sampler import pgbart
+from pymc_bart_tpu.sampler.pgbart import _grow_round
+
+
+N_DEV = 8
+
+
+@pytest.fixture
+def mesh():
+    if len(jax.devices()) < N_DEV:
+        pytest.skip("needs 8 (virtual) devices")
+    return Mesh(np.array(jax.devices()[:N_DEV]), ("data",))
+
+
+def test_grow_round_sharded_exact(mesh):
+    rng = np.random.default_rng(0)
+    n, p, k, d = 64, 3, 1, 1
+    cfg = BartConfig(m=4, max_depth=3, n_outputs=k)
+    S = cfg.n_nodes
+    lo, hi = 2**d - 1, 2 ** (d + 1) - 1
+    G = hi - lo
+
+    X = jnp.asarray(rng.normal(size=(n, p)), jnp.float32)
+    resid = jnp.asarray(rng.normal(size=(n, k)), jnp.float32)
+    rules = jnp.zeros(p, jnp.int32)
+    alpha_cdf = jnp.cumsum(jnp.ones(p, jnp.float32))
+    leaf_sd = jnp.full((k,), 0.4, jnp.float32)
+
+    # a depth-1 particle state: root split on column 0 at the median
+    med = float(np.median(np.asarray(X[:, 0])))
+    goleft = np.asarray(X[:, 0]) <= med
+    sv = jnp.full((S,), -1, jnp.int32).at[0].set(0)
+    sl = jnp.zeros((S,), jnp.float32).at[0].set(med)
+    st = jnp.zeros((S,), jnp.uint32)
+    lf = jnp.asarray(rng.normal(size=(S, k)), jnp.float32)
+    ct = (jnp.zeros((S,), jnp.float32).at[0].set(n)
+          .at[1].set(goleft.sum()).at[2].set((~goleft).sum()))
+    sp = jnp.zeros((S, k), jnp.float32)
+    li = jnp.asarray(np.where(goleft, 1, 2), jnp.int32)
+
+    rands = {
+        "u_grow": jnp.zeros((G,), jnp.float32),  # always try to grow
+        "u_var": jnp.asarray(rng.random(G), jnp.float32),
+        "row_gum": jnp.asarray(rng.gumbel(size=n), jnp.float32),
+        "eps": jnp.asarray(rng.normal(size=(2 * G, k)), jnp.float32),
+        "set_bits": jnp.zeros((G,), jnp.uint32),
+        "u_mix": jnp.asarray(rng.random(2 * G), jnp.float32),
+    }
+    frozen = jnp.asarray(False)
+
+    want = _grow_round(rands, frozen, sv, sl, st, lf, ct, sp, li, d, X,
+                       rules, alpha_cdf, leaf_sd, resid, cfg)
+
+    row_specs = {"u_grow": P(), "u_var": P(), "row_gum": P("data"),
+                 "eps": P(), "set_bits": P(), "u_mix": P()}
+
+    def sharded_round(rands_s, li_s, X_s, resid_s):
+        return _grow_round(rands_s, frozen, sv, sl, st, lf, ct, sp, li_s,
+                           d, X_s, rules, alpha_cdf, leaf_sd, resid_s, cfg,
+                           data_axis="data")
+
+    got = jax.jit(jax.shard_map(
+        sharded_round, mesh=mesh,
+        in_specs=(row_specs, P("data"), P("data"), P("data")),
+        out_specs=(P(), P(), P(), P(), P(), P(), P("data")),
+        check_vma=False,
+    ))(rands, li, X, resid)
+
+    names = ["split_var", "split_val", "split_set", "leaf", "count",
+             "slope", "leaf_idx"]
+    for name, a, b in zip(names, want, got):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype.kind == "f":
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7,
+                                       err_msg=name)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_pgbart_step_row_sharded(mesh):
+    rng = np.random.default_rng(1)
+    n, p = 128, 2
+    X_np = rng.uniform(size=(n, p)).astype(np.float32)
+    Y_np = np.where(X_np[:, 0] > 0.5, 2.0, -2.0).astype(np.float32)
+    X = jnp.asarray(X_np)
+    Yt = jnp.asarray(Y_np)[:, None]
+    cfg = BartConfig(m=5, max_depth=3)
+    pg = PgbartConfig(num_particles=6, batch=(0.5, 0.5))
+    rules = jnp.zeros(p, jnp.int32)
+    gauss_w = jnp.ones((n, 1), jnp.float32)
+
+    state = pgbart.init_state(X, Yt, cfg)
+
+    def loglik(f, params):  # unused on the sharded-Gaussian path
+        (y,) = params
+        return jnp.sum(-0.5 * (y - f) ** 2)
+
+    def steps(key, state, X_s, Yt_s, gw_s):
+        def body(st, k):
+            st, vi = pgbart.pgbart_step(
+                k, st, X_s, Yt_s, rules, cfg, pg, loglik, (Yt_s,), False,
+                gauss_w=gw_s, data_axis="data")
+            return st, vi
+
+        return jax.lax.scan(body, state, jax.random.split(key, 25))[0]
+
+    # rows sharded; per-row state (tree_pred, sum_trees, wf_*) sharded too
+    row = P("data")
+    state_specs = pgbart.PgbartState(
+        forest=jax.tree.map(lambda _: P(), state.forest),
+        tree_pred=P(None, "data"), sum_trees=row, alpha_vec=P(),
+        leaf_sd=P(), wf_count=P(), wf_mean=row, wf_m2=row,
+        batch_offset=P(), iteration=P())
+
+    out = jax.jit(jax.shard_map(
+        steps, mesh=mesh,
+        in_specs=(P(), state_specs, row, row, row),
+        out_specs=state_specs, check_vma=False,
+    ))(jax.random.PRNGKey(0), state, X, Yt, gauss_w)
+
+    # replicated tree state must be globally consistent: the root counts
+    # of fresh trees cover ALL n rows, not one shard's slice
+    ct = np.asarray(out.forest.count)
+    assert np.isfinite(np.asarray(out.sum_trees)).all()
+    assert ct[:, 0].max() == n
+    rmse0 = float(np.sqrt(np.mean((Y_np - Y_np.mean()) ** 2)))
+    rmse1 = float(np.sqrt(np.mean(
+        (np.asarray(out.sum_trees)[:, 0] - Y_np) ** 2)))
+    assert rmse1 < 0.7 * rmse0, (rmse1, rmse0)

@@ -23,9 +23,12 @@ from pymc_bart_tpu.ops.draw_pallas import (
 from pymc_bart_tpu.sampler import pgbart
 
 
-def _setup(seed=0, n=48, p=3, m=6, depth=3, particles=4):
+def _setup(seed=0, n=48, p=3, m=6, depth=3, particles=4, with_nan=False):
     rng = np.random.default_rng(seed)
-    X = jnp.asarray(rng.uniform(size=(n, p)), jnp.float32)
+    X_np = rng.uniform(size=(n, p)).astype(np.float32)
+    if with_nan:  # missing-data rows must route identically on both paths
+        X_np[rng.random(size=(n, p)) < 0.1] = np.nan
+    X = jnp.asarray(X_np)
     Y = jnp.asarray(
         np.sin(3 * np.asarray(X[:, 0])) + 0.1 * rng.normal(size=n),
         jnp.float32,
@@ -44,8 +47,9 @@ def _loglik(f, params):
 
 
 @pytest.mark.parametrize("tuning", [False, True])
-def test_megakernel_matches_existing_path(tuning, monkeypatch):
-    X, Y, cfg, pg, rules, gauss_w, state = _setup()
+@pytest.mark.parametrize("with_nan", [False, True])
+def test_megakernel_matches_existing_path(tuning, with_nan, monkeypatch):
+    X, Y, cfg, pg, rules, gauss_w, state = _setup(with_nan=with_nan)
     key = jax.random.PRNGKey(7)
 
     # existing path, forced onto the per-kernel Pallas route (interpret)

@@ -68,3 +68,28 @@ def test_split_rule_classes():
             "mu", X, Y, m=3,
             split_rules=["ContinuousSplit", pmb.OneHotSplitRule(), 2])
     np.testing.assert_array_equal(mu2.rules_array(), [0, 1, 2])
+
+
+def test_jitter_duplicate_split_values():
+    """A fully tied continuous column can never split without jitter
+    (every proposed split leaves the right child empty); with the
+    setup-time duplicate jitter (reference CHANGELOG.md:296-299) it can.
+    """
+    rng = np.random.default_rng(8)
+    n = 80
+    X = np.ones((n, 1), np.float32)  # all values tied
+    Y = rng.normal(size=n).astype(np.float32)
+
+    def run(jitter):
+        with pmb.Model():
+            pmb.BART("mu", X, Y, m=3, max_depth=2)
+            sigma = pmb.HalfNormal("sigma", 1.0)
+            pmb.Normal("y", pmb.Model.get_context()["mu"], sigma,
+                       observed=Y)
+            idata = pmb.sample(tune=30, draws=30, chains=1, random_seed=9,
+                               jitter_duplicates=jitter)
+        return int(np.asarray(
+            idata["sample_stats"]["variable_inclusion"].values).sum())
+
+    assert run(False) == 0
+    assert run(True) > 0
