@@ -1,40 +1,39 @@
 """Whole-draw PGBART megakernel: one ``pallas_call`` per MCMC step.
 
-After the grow/SMC/select fusions (ops/grow_pallas, ops/smc_pallas,
-ops/select_pallas) the per-draw cost on TPU is still dominated by kernel
-*count*: per draw, B tree updates x D growth rounds x (grow kernel + SMC
-kernel + ancestor gather) + B select kernels + the XLA glue committing
-each winner into the forest (~80-160 dispatches per draw at default
-settings, each paying fixed launch cost at BART's tiny shapes).  This
-kernel runs the ENTIRE PGBART step — the Gibbs loop over the B trees of
-the batch, each tree's full conditional SMC (D depth-synchronous growth
-rounds, ESS-gated systematic resampling, categorical winner selection,
-R Metropolis leaf refinements), the forest/sum-of-trees commit, and the
-tuning-phase adaptation (split-prior counts, Welford leaf variance) — as
-ONE program.
+Runs the ENTIRE PGBART step — the Gibbs loop over the batch's B trees,
+each tree's full conditional SMC (D depth-synchronous growth rounds,
+ESS-gated systematic resampling, categorical winner selection, R
+Metropolis leaf refinements), the forest/sum-of-trees commit, the
+tuning-phase adaptation (split-prior counts, Welford leaf variance) and
+the per-draw variable-inclusion histogram — as ONE program.
 
-Semantics are identical to ``sampler/pgbart.pgbart_step``'s fused-Gaussian
-Pallas path (itself equivalence-tested against the pure-JAX reference
-path): the round body is literally ``grow_pallas._grow_math``; the
-resampling and selection math mirror ``smc_pallas``/``select_pallas``
-line by line.  All randomness is pre-drawn outside with ``jax.random``:
+The formulation is PARTICLE-VECTORIZED (see _draw_kernel): particle
+state is carried as (P, S)/(P, n) values, growth is a fori over the
+level's nodes with all P particles per instruction, resample gathers
+are exact (P, P) selection matmuls.  The per-particle fori formulation
+it replaced was bound by ~20 ns of fixed Mosaic overhead per op across
+~60 ops x P x D x B calls per draw (5.4 ms -> 1.4 ms per 4-chain draw
+at bench shapes).
 
+Randomness:
 * ``rng="reference"`` replicates ``_update_one_tree``'s exact key-split
-  sequence per tree, so the megakernel is bit-comparable to the existing
-  kernels given the same top-level key (used by the equivalence tests);
-* ``rng="batched"`` draws each random block with one batched call
-  (~10 RNG ops per draw instead of ~8 per tree) — statistically
-  identical, and the production/bench default.
+  sequence per tree, so the megakernel is bit-comparable to the
+  per-round kernels given the same top-level key (equivalence tests);
+* ``rng="batched"`` draws each random block with one batched call;
+* ``rng="kernel"`` generates the large row-Gumbel block on-chip with
+  the Mosaic PRNG seeded from the step key (only the small node-level
+  blocks stay on the jax.random stream) — measured slightly SLOWER than
+  "batched" at n=1000 (the XLA block overlaps with kernel execution,
+  Gumbel transcendentals do not), kept for very large n.
 
-Mosaic idioms follow grow_pallas (see its module docstring): selection
-matmuls instead of gathers, i32 bit patterns for the uint32 subset masks,
-f32 blends instead of i1 selects, scalar compare-count instead of
-searchsorted, (P,1)->(P,) transposes via a diag matmul.
+Mosaic idioms: selection matmuls instead of gathers, i32 bit patterns
+for the uint32 subset masks and NaN-able split values, f32/i32 mask
+arithmetic instead of i1 broadcasts, (P, 1) node quantities broadcast
+against (P, n) row blocks.
 
-Scope (callers fall back to ``pgbart_step``'s per-kernel path otherwise):
-constant leaf response, n_outputs == 1, fused Gaussian likelihood
-(``gauss_w`` given), p <= 128, and the pre-drawn row-Gumbel block
-(B*D*P*n floats) small enough for VMEM.
+Scope (callers fall back to ``pgbart_step``'s per-round kernel path
+otherwise): constant leaf response, n_outputs == 1, fused Gaussian
+likelihood (``gauss_w`` given), p <= 32.
 
 Reference for the algorithm: SURVEY 2.3 (PGBART, reconstructed from
 arXiv:1502.04622 + reference CHANGELOG.md); this file is a scheduling
@@ -51,7 +50,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import BartConfig, PgbartConfig
-from .grow_pallas import _grow_math
 
 
 def _row_from_col(col2, P: int):
@@ -137,9 +135,9 @@ def _draw_kernel(
             preferred_element_type=jnp.float32)
 
     if gen_gumbel:
-        # row-selection Gumbels are generated ON-CHIP: the pre-drawn
-        # block is B*D*P*n floats (2.4 MB/draw at bench shapes) and its
-        # XLA generation + HBM traffic was ~25%% of the draw time
+        # on-chip generation of the B*D*P*n row-Gumbel block (2.4 MB per
+        # draw at bench shapes); see the module docstring for when this
+        # wins over the prefetched XLA block
         pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1])
 
     def fresh_gumbel():
@@ -628,7 +626,7 @@ def pgbart_step_fused(key, state, X, Y_target, rules, cfg: BartConfig,
         # on-chip by the Mosaic PRNG seeded from the step key; the small
         # node-level blocks stay on the jax.random stream
         ug, uv, _rg, eps, sb, ures, usel, epsr, uacc = _rands_batched(
-            key, B, P, 1, 1, Gtot, R, S, pg.num_refinements)
+            key, B, P, D, 1, Gtot, R, S, pg.num_refinements)
         rg = jnp.zeros((1, 1, 1), jnp.float32)
     else:
         make = _rands_reference if rng_mode == "reference" else _rands_batched

@@ -584,11 +584,13 @@ def pgbart_step(key, state: PgbartState, X, Y_target, rules,
     if data_axis is None and _megakernel_enabled(cfg, pg, X, gauss_w):
         from ..ops.draw_pallas import pgbart_step_fused
 
-        # on the real chip the row-Gumbel block is generated in-kernel
-        # by the Mosaic PRNG (no interpret-mode lowering on CPU)
-        mode = "kernel" if jax.default_backend() == "tpu" else "batched"
+        # measured on v5e: "batched" XLA RNG overlaps with the kernel
+        # and beats in-kernel Mosaic PRNG generation (1.40 vs 1.53 ms per
+        # 4-chain draw at bench shapes — the Gumbel transcendentals cost
+        # more on the VPU than the prefetched block); "kernel" remains
+        # available for very large n where the 2.4 MB/draw block matters
         return pgbart_step_fused(key, state, X, Y_target, rules, cfg, pg,
-                                 gauss_w, tuning, rng_mode=mode)
+                                 gauss_w, tuning, rng_mode="batched")
     m = cfg.m
     B = pg.batch_size(m, tuning)
     n, p = X.shape

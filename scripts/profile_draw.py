@@ -49,7 +49,8 @@ def full_scan(keys, states):
     def body(st, k):
         st, vi = jax.vmap(
             lambda kk, ss: draw_pallas.pgbart_step_fused(
-                kk, ss, X, Y, rules, cfg, pg, gauss_w, False))(k, st)
+                kk, ss, X, Y, rules, cfg, pg, gauss_w, False,
+                rng_mode="kernel"))(k, st)
         return st, vi
 
     return jax.lax.scan(body, states, keys)[0]
