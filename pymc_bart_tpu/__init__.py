@@ -41,10 +41,14 @@ from .models import (
     preprocess_xy,
     set_data,
 )
-from .models.predictive import sample_posterior_predictive
+from .models.predictive import (
+    sample_posterior_predictive,
+    sample_prior_predictive,
+)
 from .sampler import PGBART, sample
 from .utils import (
     compute_variable_importance,
+    export_variable_inclusion,
     ess_bulk,
     rhat,
     summary,
@@ -60,6 +64,7 @@ from .utils import (
 
 __all__ = [
     "compute_variable_importance",
+    "export_variable_inclusion",
     "get_variable_inclusion",
     "plot_convergence",
     "plot_ice",
@@ -68,6 +73,7 @@ __all__ = [
     "plot_variable_importance",
     "plot_variable_inclusion",
     "sample_posterior_predictive",
+    "sample_prior_predictive",
     "vi_to_kulprit",
     "ess_bulk",
     "rhat",

@@ -133,6 +133,9 @@ class Dataset:
     def __getitem__(self, name) -> DataArray:
         return self._variables[name]
 
+    def __setitem__(self, name, da: DataArray):
+        self._variables[name] = da
+
     def __contains__(self, name) -> bool:
         return name in self._variables
 

@@ -24,6 +24,86 @@ from .inference_data import DataArray, Dataset, InferenceData
 from .model import Model
 
 
+def sample_prior_predictive(
+    samples: int = 500,
+    model: Optional[Model] = None,
+    var_names=None,
+    random_seed: Optional[int] = None,
+) -> InferenceData:
+    """Sample free RVs from their priors and the observation nodes given
+    those draws (the ``pm.sample_prior_predictive`` surface).
+
+    A BART variable contributes its pre-sampling support value — the
+    constant ``Y.mean()`` vector — exactly as the reference's ``rng_fn``
+    does before any trees exist (reference pymc_bart/bart.py:54-63: with
+    ``all_trees`` empty it returns ``np.full(size, self.Y.mean())``).
+
+    Returns an InferenceData with ``prior`` (free RVs, BART values,
+    deterministics) and ``prior_predictive`` (observed nodes) groups,
+    each shaped (chain=1, draw=samples, ...).
+    """
+    model = Model.get_context(model)
+    if random_seed is None:
+        random_seed = np.random.default_rng().integers(0, 2**31 - 1)
+    key = jax.random.PRNGKey(int(random_seed))
+
+    data_env = {name: jnp.asarray(d.get_value(), jnp.float32)
+                for name, d in model.data_vars.items()}
+    bart_vals = {
+        brv.name: jnp.full(brv.shape, float(np.mean(brv.Y)), jnp.float32)
+        for brv in model.bart_rvs
+    }
+
+    def one_draw(k):
+        env = dict(data_env)
+        env.update(bart_vals)
+        out = dict(bart_vals)
+        n_nodes = len(model.free_rvs) + len(model.observed_rvs)
+        keys = jax.random.split(k, max(n_nodes, 1))
+        ki = 0
+        for rv in model.free_rvs:  # declaration order = dependency order
+            params = tuple(evaluate(p, env) for p in rv.params)
+            val = rv.dist.sample(keys[ki], rv.shape or (), *params)
+            ki += 1
+            env[rv.name] = val
+            out[rv.name] = val
+        for det in model.deterministics:
+            env[det.name] = evaluate(det.expr, env)
+            out[det.name] = env[det.name]
+        obs_out = {}
+        for orv in model.observed_rvs:
+            params = tuple(evaluate(p, env) for p in orv.params)
+            if orv.dist.__name__ == "CategoricalDist":
+                shape = np.shape(orv.observed)
+            else:
+                shape = tuple(orv.observed.shape)
+                params = tuple(jnp.broadcast_to(p, shape) for p in params)
+            obs_out[orv.name] = orv.dist.sample(keys[ki], shape, *params)
+            ki += 1
+        return out, obs_out
+
+    prior_d, pp_d = jax.vmap(one_draw)(jax.random.split(key, samples))
+    prior_d = jax.device_get(prior_d)
+    pp_d = jax.device_get(pp_d)
+
+    def to_ds(d: Dict[str, np.ndarray]) -> Dataset:
+        group_vars = {}
+        for name, v in d.items():
+            if var_names is not None and name not in var_names:
+                continue
+            v = np.asarray(v)[None]  # (chain=1, draw, ...)
+            dims = ["chain", "draw"] + [
+                f"{name}_dim_{i}" for i in range(v.ndim - 2)]
+            group_vars[name] = DataArray(v, dims, name=name)
+        return Dataset(group_vars)
+
+    out = InferenceData()
+    out.add_group("prior", to_ds(prior_d))
+    out.add_group("prior_predictive", to_ds(pp_d))
+    out._model = model
+    return out
+
+
 def sample_posterior_predictive(
     idata: InferenceData,
     model: Optional[Model] = None,
@@ -66,8 +146,11 @@ def sample_posterior_predictive(
         if pf is None:
             continue
         ref = pf[0] if isinstance(pf, list) else pf
+        # NaN-aware equality: nan_to_num would conflate a NaN covariate
+        # with a literal 0.0 and silently reuse stale in-sample values
         same = (X_cur.shape == ref.X_train.shape) and np.array_equal(
-            np.nan_to_num(X_cur), np.nan_to_num(ref.X_train)
+            np.asarray(X_cur, np.float32), np.asarray(ref.X_train, np.float32),
+            equal_nan=True,
         )
         if not same:
             idx = np.arange(ref.n_total)

@@ -578,23 +578,39 @@ def _rands_batched(key, B, P, D, n, Gtot, R, S, num_refinements):
 # ---------------------------------------------------------------------------
 
 
-def fused_draw_supported(cfg: BartConfig, pg: PgbartConfig, X,
-                         gauss_w) -> bool:
-    """Whether the whole-draw megakernel covers this configuration.
+def fused_draw_unsupported_reason(cfg: BartConfig, pg: PgbartConfig, X,
+                                  gauss_w):
+    """None when the whole-draw megakernel covers this configuration,
+    else a human-readable reason for the fallback (surfaced by
+    ``sample()`` so users know when they left the fast path).
 
     p <= 32: the vectorized kernel draws split variables by a p-step
     compare-count over the weight CDF; wider X falls back to the
     per-round kernel path."""
-    if gauss_w is None or cfg.response != "constant" or cfg.n_outputs != 1:
-        return False
+    if gauss_w is None:
+        return ("likelihood is not fused-Gaussian (no per-observation "
+                "precision available)")
+    if cfg.response != "constant":
+        return f"response={cfg.response!r} (megakernel covers 'constant')"
+    if cfg.n_outputs != 1:
+        return f"n_outputs={cfg.n_outputs} (megakernel covers 1)"
     n, p = X.shape
-    if p > 32 or n * p > 2_000_000:
-        return False
+    if p > 32:
+        return f"p={p} covariates (megakernel CDF search covers p <= 32)"
+    if n * p > 2_000_000:
+        return f"X size n*p={n * p} exceeds the 2M-element VMEM budget"
     # the pre-drawn row-Gumbel block must fit VMEM comfortably
     B = max(pg.batch_size(cfg.m, True), pg.batch_size(cfg.m, False))
     if B * cfg.max_depth * pg.num_particles * n * 4 > 6_000_000:
-        return False
-    return True
+        return ("per-draw row-Gumbel block (batch x depth x particles x n) "
+                "exceeds the 6 MB VMEM budget")
+    return None
+
+
+def fused_draw_supported(cfg: BartConfig, pg: PgbartConfig, X,
+                         gauss_w) -> bool:
+    """Whether the whole-draw megakernel covers this configuration."""
+    return fused_draw_unsupported_reason(cfg, pg, X, gauss_w) is None
 
 
 @functools.partial(jax.jit,

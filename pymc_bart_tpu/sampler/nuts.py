@@ -35,10 +35,13 @@ _DIVERGENCE = 1000.0
 
 def nuts_step(key, state: HmcState, logp_fn: Callable, logp_params,
               tuning: bool, max_tree_depth: int = 8,
-              target_accept: float = 0.8):
+              target_accept: float = 0.8, full_stats: bool = False):
     """One NUTS transition.  ``logp_fn(theta, logp_params) -> scalar``.
 
-    Returns (new_state, accept_prob).
+    Returns (new_state, accept_prob), or with ``full_stats=True``
+    (new_state, dict) carrying the per-draw sampler statistics PyMC's
+    NUTS reports (diverging, tree_depth, n_steps, step_size, energy) so
+    users can diagnose a bad run the way they would with the reference.
     """
     d = state.theta.shape[0]
     L = max_tree_depth
@@ -161,8 +164,8 @@ def nuts_step(key, state: HmcState, logp_fn: Callable, logp_params,
             r0, state.theta, logp0, jnp.zeros(()),
             jnp.zeros(()), jnp.zeros((), jnp.int32), k_loop)
     out = jax.lax.while_loop(cond, body, init)
-    (_depth, _turning, _diverged, _zl, _rl, _gl, _zr, _rr, _gr, _rsum,
-     z_prop, _logp_prop, _log_w, sum_acc, n_leaves_tot, _key) = out
+    (depth_f, _turning, diverged_f, _zl, _rl, _gl, _zr, _rr, _gr, _rsum,
+     z_prop, logp_prop, _log_w, sum_acc, n_leaves_tot, _key) = out
 
     theta_new = z_prop
     accept_prob = sum_acc / jnp.maximum(n_leaves_tot.astype(jnp.float32), 1.0)
@@ -192,4 +195,14 @@ def nuts_step(key, state: HmcState, logp_fn: Callable, logp_params,
         )
     else:
         new_state = dataclasses.replace(state, theta=theta_new)
+    if full_stats:
+        stats = {
+            "accept": accept_prob,
+            "diverging": diverged_f,
+            "tree_depth": depth_f,
+            "n_steps": n_leaves_tot,
+            "step_size": step,
+            "energy": -logp_prop,
+        }
+        return new_state, stats
     return new_state, accept_prob

@@ -2,6 +2,7 @@ from .codec import _decode_vi, _encode_vi, decode_vi, encode_vi
 from .diagnostics import ess_bulk, rhat, summary
 from .importance import (
     compute_variable_importance,
+    export_variable_inclusion,
     get_variable_inclusion,
     plot_scatter_submodels,
     plot_variable_importance,
@@ -20,6 +21,7 @@ __all__ = [
     "_decode_vi",
     "_encode_vi",
     "ess_bulk",
+    "export_variable_inclusion",
     "rhat",
     "summary",
     "get_variable_inclusion",

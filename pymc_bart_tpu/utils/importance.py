@@ -19,7 +19,7 @@ from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 
-from .codec import decode_vi
+from .codec import decode_vi, encode_vi
 from .interpret import SubmodelScorer, as_matrix, paired_r2
 from .stats import DEFAULT_CI_PROB, hdi
 
@@ -61,6 +61,46 @@ def _inclusion_matrix(idata, n_vars: int, model=None, bart_var_name=None,
     elif vals.ndim == 4:
         vals = vals[:, :, 0, :]
     return vals.reshape(-1, vals.shape[-1])[:, :n_vars]
+
+
+def export_variable_inclusion(idata, model=None, bart_var_name=None,
+                              inplace: bool = False) -> np.ndarray:
+    """Emit the reference's ``sample_stats`` wire format: one base64-varint
+    string per (chain, draw) of per-covariate split counts (reference
+    utils.py:750-762 consuming what its native sampler emits per draw,
+    encoded per utils.py:1343-1373).
+
+    The native layout here is a 4-D int array; this converts it so
+    reference-tooling consumers (or a reference-produced-InferenceData
+    comparison) can read the stats.  Returns an object array of shape
+    (chain, draw); with ``inplace=True`` it is also attached to
+    ``idata.sample_stats`` as ``variable_inclusion_encoded``.
+    """
+    da = idata["sample_stats"]["variable_inclusion"]
+    vals = np.asarray(getattr(da, "values", da))
+    if vals.dtype.kind in "OUS":
+        out = vals.reshape(vals.shape[:2]).astype(object)
+    else:
+        if vals.ndim == 4 and vals.shape[2] > 1:
+            if model is None or bart_var_name is None:
+                raise ValueError(
+                    "multiple BART variables: provide model= and "
+                    "bart_var_name= to select which forest to export")
+            which = [b.name for b in model.bart_rvs].index(bart_var_name)
+            vals = vals[:, :, which, :]
+        elif vals.ndim == 4:
+            vals = vals[:, :, 0, :]
+        chains, draws = vals.shape[:2]
+        out = np.empty((chains, draws), object)
+        for c in range(chains):
+            for d in range(draws):
+                out[c, d] = encode_vi(vals[c, d])
+    if inplace:
+        from ..models.inference_data import DataArray
+
+        idata["sample_stats"]["variable_inclusion_encoded"] = DataArray(
+            out, ["chain", "draw"], name="variable_inclusion_encoded")
+    return out
 
 
 def get_variable_inclusion(idata, X, model=None, bart_var_name=None,

