@@ -1,22 +1,33 @@
-"""Benchmark: posterior draws/s/chip on Friedman BART (m=50) — BASELINE.md
-config 1 and the north-star metric.
+"""Benchmark: the BASELINE.md acceptance matrix, END-TO-END through
+``sample()`` (tune + draws, compound step, forest snapshots off-loaded to
+host), on real TPU hardware.
 
-Throughput counts chain-draws (chains run vmapped on the chip; PyMC
-equivalently runs chains on separate CPU cores).  The reference publishes
-no numbers (BASELINE.md) and CPU PyMC-BART cannot run in this image (no
-pymc), so the denominator is this engine's own single-chain CPU run x
-CPU_CHAINS (crediting the reference's process-per-chain parallelism with
-PERFECT 4-core scaling — generous to the baseline; the reference's
-Python+IPC pipeline is slower than this engine's own CPU path).
+Round-2's bench timed only the bare kernel loop of config 1; the round-2
+review asked for the full protocol (BASELINE.md "Measurement protocol"):
+draws/s/chip, wall-clock to fixed ESS, and a quality metric for EACH of
+the 5 configs, through the user entry point.  This bench runs:
 
-Measurement protocol (round-1 review: a single 40-draw CPU window swung
-~2x between runs): both sides time >= 200-draw windows and take the
-MEDIAN of 3 timed windows after a warmup window that also absorbs
-compilation.  On TPU the sampler runs the whole-draw megakernel
-(ops/draw_pallas); first compile takes minutes through the
-remote-compile path and is excluded from the timed windows.
+  1. friedman      — Gaussian BART, Friedman-5, m=50 (the headline)
+  2. bikes         — count data, BART mean + HalfNormal sigma via the
+                     compound NUTS step
+  3. logistic      — Bernoulli classification (fused logit megakernel)
+  4. heterosced    — shape=(2, n) mean+scale forests (separate_trees;
+                     fused gauss + het_abs megakernels)
+  5. highdim       — p=1000 sparse variable selection (+ split-prior
+                     decay); p > 512 falls off the megakernel by design
+  6. large_n       — n=100k rows (megakernel VMEM-gated; fallback path)
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Steady-state rate = draws after the first chunk (the first draw chunk
+carries the draw-program compile); the tune phase warms the tune
+program.  ESS normalization: ``sec_per_100_ess`` = wall-clock for the
+collected draws x 100 / min bulk-ESS over sigma and three mu rows.
+
+The CPU denominator is config 1 end-to-end through ``sample()`` on CPU
+(single chain, x4 perfect-scaling credit — generous to the reference's
+process-per-chain model; CPU PyMC-BART itself cannot run in this image).
+
+Prints ONE JSON line (config-1 headline).  The full matrix goes to
+``BENCH_FULL.json`` and a human summary to stderr.
 """
 
 from __future__ import annotations
@@ -26,129 +37,321 @@ import os
 import subprocess
 import sys
 import time
+import warnings
 
 import numpy as np
 
-N_ROWS = 1000
-P_COVARS = 10
-M_TREES = 50
-PARTICLES = 20
-DRAWS = 200            # per timed window
-REPEATS = 3            # timed windows; the median is reported
-BATCH = (0.1, 0.1)
-TPU_CHAINS = 4
-CPU_CHAINS = 4  # credit assumed to the CPU baseline (process-per-chain)
+CPU_CHAINS = 4  # scaling credit assumed for the CPU process-per-chain model
+
+
+# ---------------------------------------------------------------------------
+# Data generators
+# ---------------------------------------------------------------------------
 
 
 def friedman(n, p, seed=0):
     rng = np.random.default_rng(seed)
     X = rng.uniform(size=(n, p)).astype(np.float32)
-    f = (
-        10 * np.sin(np.pi * X[:, 0] * X[:, 1])
-        + 20 * (X[:, 2] - 0.5) ** 2
-        + 10 * X[:, 3]
-        + 5 * X[:, 4]
-    )
+    f = (10 * np.sin(np.pi * X[:, 0] * X[:, 1])
+         + 20 * (X[:, 2] - 0.5) ** 2 + 10 * X[:, 3] + 5 * X[:, 4])
     Y = (f + rng.normal(0, 1.0, n)).astype(np.float32)
     return X, Y, f
 
 
-def run_bench(platform: str | None, draws: int, chains: int,
-              repeats: int = REPEATS):
-    import jax
+def bikes_like(n, seed=1):
+    """Synthetic hourly rental counts: daily cycle x temperature."""
+    rng = np.random.default_rng(seed)
+    hour = rng.uniform(0, 24, n)
+    temp = rng.uniform(-5, 35, n)
+    hum = rng.uniform(20, 100, n)
+    wind = rng.uniform(0, 40, n)
+    work = rng.integers(0, 2, n).astype(np.float32)
+    lam = (60 * np.exp(-0.5 * ((hour - 8) / 2.0) ** 2)
+           + 80 * np.exp(-0.5 * ((hour - 17.5) / 2.5) ** 2)
+           + 2.0 * np.clip(temp, 0, 30) - 0.3 * (hum - 60) - 0.5 * wind)
+    lam = np.maximum(lam, 2.0)
+    Y = rng.poisson(lam).astype(np.float32)
+    X = np.stack([hour, temp, hum, wind, work], axis=1).astype(np.float32)
+    return X, Y, lam
 
-    if platform:
-        jax.config.update("jax_platforms", platform)
-    import jax.numpy as jnp
 
-    from pymc_bart_tpu.config import BartConfig, PgbartConfig
-    from pymc_bart_tpu.sampler import pgbart
+# ---------------------------------------------------------------------------
+# Harness
+# ---------------------------------------------------------------------------
 
-    X_np, Y_np, f_true = friedman(N_ROWS, P_COVARS)
-    cfg = BartConfig(m=M_TREES, max_depth=6)
-    pg = PgbartConfig(num_particles=PARTICLES, batch=BATCH)
-    X = jnp.asarray(X_np)
-    Yt = jnp.asarray(Y_np)[:, None]
-    rules = jnp.zeros(P_COVARS, jnp.int32)
-    sigma = jnp.float32(1.0)
-    # per-observation Gaussian precision: activates the fused-likelihood
-    # SMC kernels and the whole-draw megakernel (ops/draw_pallas) on TPU
-    gauss_w = jnp.full((N_ROWS, 1), 1.0 / sigma**2, jnp.float32)
 
-    def loglik(f, params):
-        y, s = params
-        return jnp.sum(-0.5 * ((y - f) / s) ** 2)
+def _steady_rate(timings, chains):
+    secs = timings["draw_chunk_seconds"]
+    sizes = timings["draw_chunk_sizes"]
+    if len(secs) > 1:
+        per_draw = sum(secs[1:]) / sum(sizes[1:])
+    else:
+        per_draw = secs[0] / sizes[0]
+    return chains / per_draw, per_draw
 
-    params = (Yt, sigma)
 
-    def chain_steps(key, state, n_steps: int):
-        def body(carry, k):
-            st, _ = carry
-            st, vi = pgbart.pgbart_step(
-                k, st, X, Yt, rules, cfg, pg, loglik, params, False,
-                gauss_w=gauss_w)
-            return (st, vi), None
+def _ess_block(idata, mu_name, extra_vars=()):
+    from pymc_bart_tpu.utils.diagnostics import ess_bulk
 
-        keys = jax.random.split(key, n_steps)
-        (state, vi), _ = jax.lax.scan(body, (state, jnp.zeros(P_COVARS)), keys)
-        return state, vi
+    esses = {}
+    mu = idata.posterior[mu_name].values
+    mu = mu.reshape(mu.shape[0], mu.shape[1], -1)  # flatten output dims
+    rows = mu.shape[-1]
+    for r in (0, rows // 2, rows - 1):
+        esses[f"{mu_name}[{r}]"] = float(ess_bulk(mu[..., r]))
+    for v in extra_vars:
+        if v in idata.posterior:
+            esses[v] = float(ess_bulk(idata.posterior[v].values))
+    return esses
 
-    half = max(draws // 2, 1)
-    jit_steps = jax.jit(jax.vmap(lambda k, s: chain_steps(k, s, half)))
 
-    state0 = pgbart.init_state(X, Yt, cfg)
-    states = jax.tree.map(
-        lambda a: jnp.broadcast_to(a, (chains,) + a.shape), state0)
-    key = jax.random.PRNGKey(0)
-    k_warm, k_time = jax.random.split(key)
+def run_config(name, model_fn, tune, draws, chains, chunk, quality_fn,
+               mu_name="mu", extra_ess=("sigma",), **sample_kw):
+    import pymc_bart_tpu as pmb
 
-    # warmup = compile + burn-in (same compiled program as the timed run)
-    states, _ = jit_steps(jax.random.split(k_warm, chains), states)
-    jax.block_until_ready(states.sum_trees)
+    timings: dict = {}
+    caught = []
+    t0 = time.perf_counter()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        with pmb.Model():
+            model_fn(pmb)
+            idata = pmb.sample(tune=tune, draws=draws, chains=chains,
+                               random_seed=0, chunk_size=chunk,
+                               timings=timings, **sample_kw)
+        caught = [str(x.message) for x in w
+                  if "per-round sampler path" in str(x.message)]
+    total = time.perf_counter() - t0
+    rate, per_draw = _steady_rate(timings, chains)
+    esses = _ess_block(idata, mu_name, extra_ess)
+    min_ess = min(esses.values())
+    sec_per_100_ess = draws * per_draw * 100.0 / max(min_ess, 1e-9)
+    row = {
+        "config": name,
+        "chains": chains, "tune": tune, "draws": draws,
+        "chain_draws_per_s": round(rate, 1),
+        "ms_per_draw_all_chains": round(per_draw * 1e3, 3),
+        "sec_per_100_ess": round(sec_per_100_ess, 3),
+        "min_ess": round(min_ess, 1),
+        "ess": {k: round(v, 1) for k, v in esses.items()},
+        "tune_seconds": round(timings["tune_seconds"], 2),
+        "total_seconds": round(total, 2),
+        "fallback": caught[0] if caught else None,
+        "quality": quality_fn(idata),
+    }
+    return row
 
-    rates = []
-    for rep in range(repeats):
-        kr = jax.random.fold_in(k_time, rep)
-        t0 = time.perf_counter()
-        states, _ = jit_steps(jax.random.split(kr, chains), states)
-        jax.block_until_ready(states.sum_trees)
-        rates.append(chains * half / (time.perf_counter() - t0))
 
-    fhat = np.asarray(states.sum_trees).mean(axis=0)[:, 0]
-    rmse = float(np.sqrt(np.mean((fhat - f_true) ** 2)))
-    return float(np.median(rates)), rmse, jax.devices()[0].platform
+# ---------------------------------------------------------------------------
+# Configs
+# ---------------------------------------------------------------------------
+
+
+def config_friedman(n=1000, p=10, m=50, chains=4, tune=200, draws=600):
+    X, Y, f_true = friedman(n, p)
+
+    def model(pmb):
+        mu = pmb.BART("mu", X, Y, m=m)
+        sigma = pmb.HalfNormal("sigma", 1.0)
+        pmb.Normal("y", mu, sigma, observed=Y)
+
+    def quality(idata):
+        mu_hat = idata.posterior["mu"].values.mean(axis=(0, 1))
+        vi = idata["sample_stats"]["variable_inclusion"].values
+        counts = vi.sum(axis=(0, 1))[0].astype(float)
+        top5 = set(np.argsort(counts)[::-1][:5].tolist())
+        return {
+            "rmse_vs_true_f": round(
+                float(np.sqrt(np.mean((mu_hat - f_true) ** 2))), 3),
+            "sigma_mean": round(
+                float(idata.posterior["sigma"].values.mean()), 3),
+            "vi_top5_is_signal": top5 == {0, 1, 2, 3, 4},
+        }
+
+    return run_config("friedman", model, tune, draws, chains, draws // 3,
+                      quality, num_particles=20)
+
+
+def config_bikes(n=1000, m=50, chains=4, tune=200, draws=400):
+    X, Y, lam = bikes_like(n)
+
+    def model(pmb):
+        mu = pmb.BART("mu", X, Y, m=m)
+        sigma = pmb.HalfNormal("sigma", 2.0)
+        pmb.Normal("y", mu, sigma, observed=Y)
+
+    def quality(idata):
+        mu_hat = idata.posterior["mu"].values.mean(axis=(0, 1))
+        return {
+            "rmse_vs_lambda": round(
+                float(np.sqrt(np.mean((mu_hat - lam) ** 2))), 3),
+            "rel_rmse": round(float(
+                np.sqrt(np.mean((mu_hat - lam) ** 2)) / lam.std()), 3),
+        }
+
+    return run_config("bikes", model, tune, draws, chains, draws // 3,
+                      quality, num_particles=20)
+
+
+def config_logistic(n=1000, p=10, m=50, chains=4, tune=200, draws=400):
+    rng = np.random.default_rng(2)
+    X = rng.uniform(size=(n, p)).astype(np.float32)
+    logit = 4 * np.sin(np.pi * X[:, 0] * X[:, 1]) + 4 * X[:, 3] - 2
+    p_true = 1 / (1 + np.exp(-logit))
+    Y = rng.binomial(1, p_true).astype(np.float32)
+    bayes = float(np.maximum(p_true, 1 - p_true).mean())
+
+    def model(pmb):
+        lo = pmb.BART("lo", X, Y, m=m)
+        pmb.Bernoulli("y", p=pmb.math.sigmoid(lo), observed=Y)
+
+    def quality(idata):
+        lo_hat = idata.posterior["lo"].values.mean(axis=(0, 1))
+        acc = float(((lo_hat > 0) == (Y > 0.5)).mean())
+        ph = 1 / (1 + np.exp(-lo_hat))
+        ph = np.clip(ph, 1e-6, 1 - 1e-6)
+        ll = float(np.mean(Y * np.log(ph) + (1 - Y) * np.log(1 - ph)))
+        return {"train_accuracy": round(acc, 3),
+                "bayes_accuracy": round(bayes, 3),
+                "mean_loglik": round(ll, 3)}
+
+    return run_config("logistic", model, tune, draws, chains, draws // 3,
+                      quality, mu_name="lo", extra_ess=(),
+                      num_particles=20)
+
+
+def config_heteroscedastic(n=500, m=30, chains=4, tune=200, draws=400):
+    rng = np.random.default_rng(3)
+    X = rng.uniform(-1, 1, size=(n, 2)).astype(np.float32)
+    mu_true = 3 * np.sin(2 * X[:, 0])
+    sd_true = 0.2 + 1.5 * (X[:, 1] > 0)
+    Y = rng.normal(mu_true, sd_true).astype(np.float32)
+
+    def model(pmb):
+        w = pmb.BART("w", X, Y, m=m, shape=(2, n), separate_trees=True)
+        pmb.Normal("y", w[0], pmb.math.abs(w[1]) + 0.05, observed=Y)
+
+    def quality(idata):
+        w_post = idata.posterior["w"].values.mean(axis=(0, 1))
+        corr = float(np.corrcoef(w_post[0], mu_true)[0, 1])
+        hi = float(np.abs(w_post[1])[X[:, 1] > 0].mean())
+        lo = float(np.abs(w_post[1])[X[:, 1] <= 0].mean())
+        return {"corr_mean_output": round(corr, 3),
+                "scale_hi_over_lo": round(hi / max(lo, 1e-9), 2)}
+
+    return run_config("heteroscedastic", model, tune, draws, chains,
+                      draws // 3, quality, mu_name="w", extra_ess=())
+
+
+def config_highdim(n=200, p=1000, m=50, chains=2, tune=150, draws=100):
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(n, p)).astype(np.float32)
+    Y = (3 * X[:, 0] + 2 * X[:, 1] - 2 * X[:, 2]
+         + rng.normal(0, 0.5, n)).astype(np.float32)
+
+    def model(pmb):
+        mu = pmb.BART("mu", X, Y, m=m, split_prior=np.ones(p))
+        sigma = pmb.HalfNormal("sigma", 1.0)
+        pmb.Normal("y", mu, sigma, observed=Y)
+
+    def quality(idata):
+        vi = idata["sample_stats"]["variable_inclusion"].values
+        counts = vi.sum(axis=(0, 1))[0].astype(float)
+        order = np.argsort(counts)[::-1]
+        mass = float(counts[:3].sum() / counts.sum())
+        return {"vi_top3_is_signal": set(order[:3].tolist()) == {0, 1, 2},
+                "signal_mass": round(mass, 3)}
+
+    return run_config("highdim_p1000", model, tune, draws, chains,
+                      max(draws // 3, 1), quality,
+                      num_particles=40, batch=(0.5, 0.5),
+                      split_prior_decay=0.999)
+
+
+def config_large_n(n=100_000, p=10, m=20, chains=4, tune=50, draws=100):
+    X, Y, f_true = friedman(n, p, seed=5)
+
+    def model(pmb):
+        mu = pmb.BART("mu", X, Y, m=m)
+        sigma = pmb.HalfNormal("sigma", 1.0)
+        pmb.Normal("y", mu, sigma, observed=Y)
+
+    def quality(idata):
+        mu_hat = idata.posterior["mu"].values.mean(axis=(0, 1))
+        return {"rmse_vs_true_f": round(
+            float(np.sqrt(np.mean((mu_hat - f_true) ** 2))), 3)}
+
+    return run_config("large_n_100k", model, tune, draws, chains,
+                      max(draws // 2, 1), quality, num_particles=10,
+                      store_trees=False)
+
+
+# ---------------------------------------------------------------------------
+# Entry
+# ---------------------------------------------------------------------------
 
 
 def main():
     if os.environ.get("_BENCH_CHILD") == "cpu":
-        dps, rmse, plat = run_bench("cpu", draws=2 * DRAWS, chains=1)
-        print(json.dumps({"cpu_draws_per_s": dps, "rmse": rmse}))
+        # CPU denominator: config-1 end-to-end, single chain
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        row = config_friedman(chains=1, tune=100, draws=200)
+        print(json.dumps({"cpu_chain_draws_per_s":
+                          row["chain_draws_per_s"]}))
         return
 
-    # CPU denominator in a subprocess (platform choice is process-global)
     env = dict(os.environ, _BENCH_CHILD="cpu")
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=1800,
+            env=env, capture_output=True, text=True, timeout=3600,
         )
-        cpu_line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        cpu_dps = json.loads(cpu_line)["cpu_draws_per_s"] * CPU_CHAINS
+        cpu_line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+        cpu_rate = json.loads(cpu_line)["cpu_chain_draws_per_s"]
     except Exception as e:  # noqa: BLE001
         print(f"# cpu baseline failed: {e}", file=sys.stderr)
-        cpu_dps = None
+        cpu_rate = None
 
-    dps, rmse, plat = run_bench(None, draws=2 * DRAWS, chains=TPU_CHAINS)
-    vs = (dps / cpu_dps) if cpu_dps else 1.0
+    import jax
+
+    platform = jax.devices()[0].platform
+    rows = []
+    for fn in (config_friedman, config_bikes, config_logistic,
+               config_heteroscedastic, config_highdim, config_large_n):
+        try:
+            row = fn()
+        except Exception as e:  # noqa: BLE001
+            row = {"config": fn.__name__, "error": repr(e)[:500]}
+        rows.append(row)
+        print(f"# {json.dumps(row)}", file=sys.stderr, flush=True)
+
+    c1 = rows[0]
+    vs = (c1.get("chain_draws_per_s", 0.0) / (cpu_rate * CPU_CHAINS)
+          if cpu_rate else 1.0)
+    result = {
+        "protocol": "end-to-end sample(): steady-state chain-draws/s "
+                    "after the first (compile-carrying) draw chunk; "
+                    "denominator = same engine, config-1 CPU sample() "
+                    f"x{CPU_CHAINS} perfect-scaling credit "
+                    f"({cpu_rate} chain-draws/s measured)",
+        "cpu_chain_draws_per_s": cpu_rate,
+        "configs": rows,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
+
     print(json.dumps({
-        "metric": f"friedman_m{M_TREES}_n{N_ROWS} chain-draws/s/chip "
-                  f"({plat}, {TPU_CHAINS} chains, pallas)",
-        "value": round(dps, 3),
+        "metric": "friedman_m50_n1000 end-to-end chain-draws/s/chip "
+                  f"({platform}, 4 chains, sample() incl. compound NUTS "
+                  "+ tree storage)",
+        "value": c1.get("chain_draws_per_s", 0.0),
         "unit": "draws/s",
         "vs_baseline": round(vs, 3),
     }))
-    print(f"# rmse(mean-over-chains)={rmse:.3f} cpu_total_draws_per_s={cpu_dps}",
-          file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -136,6 +136,14 @@ class PgbartConfig:
 
     num_particles: int = 10
     batch: Tuple[float, float] = (0.1, 0.1)
+    # Exponential forgetting of the Dirichlet-style split-prior counts:
+    # per tree update during tuning, alpha_vec <- alpha_vec * decay +
+    # split_counts.  1.0 (default) is the reference's linear accumulation
+    # ("alpha_vec[index] += 1").  At high p the uniform initial mass (p
+    # pseudo-counts) dilutes the adaptation; a decay slightly below 1
+    # washes the base out so the proposal concentrates on the covariates
+    # the SMC likelihood keeps selecting (BASELINE config 5).
+    split_prior_decay: float = 1.0
     # Metropolis refinement sweeps over the selected tree's leaf values
     # after each SMC tree update.  The SMC's leaf-value proposals are
     # anchored at the node residual mean — near-conjugate for Gaussian
@@ -149,6 +157,8 @@ class PgbartConfig:
     def __post_init__(self):
         if self.num_particles < 2:
             raise ValueError("num_particles must be >= 2")
+        if not 0.0 < self.split_prior_decay <= 1.0:
+            raise ValueError("split_prior_decay must be in (0, 1]")
         if self.num_refinements < 0:
             raise ValueError("num_refinements must be >= 0")
         for frac in self.batch:

@@ -54,7 +54,9 @@ class Expr:
         return Op(jnp.abs, self)
 
     def __getitem__(self, key):
-        return Op(lambda x: x[key], self)
+        op = Op(lambda x: x[key], self)
+        op.tag = ("getitem", key)  # structured form for pattern matching
+        return op
 
     @property
     def T(self):
@@ -77,6 +79,7 @@ class Op(Expr):
         self.fn = fn
         self.args = args
         self.kwargs = kwargs
+        self.tag = None  # optional structured description (e.g. getitem)
 
 
 def evaluate(x: Any, env: Dict[str, Any]):

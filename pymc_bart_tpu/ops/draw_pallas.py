@@ -1,4 +1,4 @@
-"""Whole-draw PGBART megakernel: one ``pallas_call`` per MCMC step.
+"""Whole-draw PGBART megakernel: one Pallas program per MCMC step.
 
 Runs the ENTIRE PGBART step — the Gibbs loop over the batch's B trees,
 each tree's full conditional SMC (D depth-synchronous growth rounds,
@@ -7,33 +7,40 @@ Metropolis leaf refinements), the forest/sum-of-trees commit, the
 tuning-phase adaptation (split-prior counts, Welford leaf variance) and
 the per-draw variable-inclusion histogram — as ONE program.
 
-The formulation is PARTICLE-VECTORIZED (see _draw_kernel): particle
-state is carried as (P, S)/(P, n) values, growth is a fori over the
-level's nodes with all P particles per instruction, resample gathers
-are exact (P, P) selection matmuls.  The per-particle fori formulation
-it replaced was bound by ~20 ns of fixed Mosaic overhead per op across
-~60 ops x P x D x B calls per draw (5.4 ms -> 1.4 ms per 4-chain draw
-at bench shapes).
+Round-3 generalizations over the round-2 kernel:
 
-Randomness:
-* ``rng="reference"`` replicates ``_update_one_tree``'s exact key-split
-  sequence per tree, so the megakernel is bit-comparable to the
-  per-round kernels given the same top-level key (equivalence tests);
-* ``rng="batched"`` draws each random block with one batched call;
-* ``rng="kernel"`` generates the large row-Gumbel block on-chip with
-  the Mosaic PRNG seeded from the step key (only the small node-level
-  blocks stay on the jax.random stream) — measured slightly SLOWER than
-  "batched" at n=1000 (the XLA block overlaps with kernel execution,
-  Gumbel transcendentals do not), kept for very large n.
+* CHAIN-VECTORIZED: C chains ride one kernel instance as C*P sublane
+  rows (global particle q = chain*P + particle).  The round-2 kernel was
+  instruction-bound (~20 ns fixed Mosaic overhead per op); vmapping it
+  over chains serialized them as grid programs.  Folding chains into the
+  particle axis keeps the instruction count of ONE chain while the
+  vector work (cheap) covers all C.  Cross-chain isolation: resampling
+  CDFs ride a block-diagonal lower-triangular matmul, per-chain
+  normalizers ride (C, CP)/(CP, C) segment matmuls, and winner
+  selection/refinement/commit run a static per-chain loop (cold
+  section).  ``jax.vmap`` over ``pgbart_step_fused`` routes here via a
+  ``jax.custom_batching.custom_vmap`` rule — callers keep writing
+  ``vmap(step)(keys, states)``.
+* GRID OVER TREES: the Gibbs tree loop is the Pallas grid (sequential
+  on TPU), so per-tree RNG blocks stream through VMEM ((1, D*C*P, n)
+  blocks, double-buffered by Mosaic) instead of residing whole — the
+  row-Gumbel block for C=4 chains would otherwise be ~10 MB.
+* FUSED LIKELIHOOD CODES: ``lik`` selects the SMC weight model —
+  ``"gauss"``      : y ~ Normal(F, sigma); row data = precision 1/sigma^2
+  ``"bernoulli"``  : y ~ Bernoulli(sigmoid(F)); ll = y*F - softplus(F)
+  ``"het_abs"``    : y ~ Normal(mu0, |F| + c); row data = (y - mu0)^2
+  ``"het_exp"``    : y ~ Normal(mu0, exp(F));  row data = (y - mu0)^2
+  (the het codes are the separate-trees scale-forest update of the
+  heteroscedastic config — BASELINE config 4; bernoulli is config 3).
+* p <= 512: split variables are drawn by a per-node compare-count of
+  the weight CDF against a (C*P, p) block (the round-2 kernel used a
+  p-step scalar loop and gated at p <= 32).
 
-Mosaic idioms: selection matmuls instead of gathers, i32 bit patterns
-for the uint32 subset masks and NaN-able split values, f32/i32 mask
-arithmetic instead of i1 broadcasts, (P, 1) node quantities broadcast
-against (P, n) row blocks.
-
-Scope (callers fall back to ``pgbart_step``'s per-round kernel path
-otherwise): constant leaf response, n_outputs == 1, fused Gaussian
-likelihood (``gauss_w`` given), p <= 32.
+Randomness: "reference" replicates ``_update_one_tree``'s exact
+per-tree key-split sequence (bit-comparable equivalence tests);
+"batched" draws each random block with one batched call; "kernel"
+generates the row-Gumbel block on-chip (Mosaic PRNG, reseeded per tree
+with the grid index) for very large n.
 
 Reference for the algorithm: SURVEY 2.3 (PGBART, reconstructed from
 arXiv:1502.04622 + reference CHANGELOG.md); this file is a scheduling
@@ -51,478 +58,591 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import BartConfig, PgbartConfig
 
+NEG = -3e38  # python float: a jnp scalar here would be a captured constant
 
-def _row_from_col(col2, P: int):
-    """(P, 1) f32 column -> (P,) row value via a diag matmul (no transpose)."""
-    eye = (jax.lax.broadcasted_iota(jnp.int32, (P, P), 0)
-           == jax.lax.broadcasted_iota(jnp.int32, (P, P), 1)).astype(jnp.float32)
-    ones = jnp.ones((1, P), jnp.float32)
+
+def _row_from_col(col2, Q: int):
+    """(Q, 1) f32 column -> (Q,) row value via a diag matmul (no transpose)."""
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 1)).astype(jnp.float32)
+    ones = jnp.ones((1, Q), jnp.float32)
     return jax.lax.dot_general(
         ones, col2 * eye, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)[0]
 
 
+def _col_from_row(row2, Q: int):
+    """(1, Q) f32 row -> (Q, 1) column via a diag matmul (no transpose)."""
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 1)).astype(jnp.float32)
+    ones = jnp.ones((Q, 1), jnp.float32)
+    return jax.lax.dot_general(
+        eye * row2, ones, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _softplus(x):
+    return jnp.maximum(x, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(x)))
+
+
 def _draw_kernel(
     # SMEM scalars
-    jt_ref, scal_ref, u_res_ref, u_sel_ref, u_acc_ref, seed_ref,
-    # VMEM inputs
-    sv_fi, sl_fi, st_fi, lf_fi, ct_fi, sp_fi, tp_i, sum_i,
+    jt_ref, u_res_ref, u_sel_ref, u_acc_ref, seed_ref,
+    # VMEM inputs (persistent state + per-tree RNG blocks)
+    scal_i, sv_fi, sl_fi, st_fi, lf_fi, ct_fi, sp_fi, tp_i, sum_i,
     y_ref, xt_ref, rules_ref, av_i, llw_ref, wfm_i, wfm2_i,
     ug_ref, uv_ref, rg_ref, eps_ref, sb_ref, epsr_ref,
-    # VMEM outputs
+    # VMEM outputs (revisited across the tree grid)
     sv_fo, sl_fo, st_fo, lf_fo, ct_fo, sp_fo, tp_o, sum_o, av_o,
     wfm_o, wfm2_o, scal_o, vi_o,
-    *, B: int, P: int, D: int, S: int, n: int, p: int, m: int, R: int,
-    alpha: float, beta: float, tuning: bool, gen_gumbel: bool,
+    *, C: int, B: int, P: int, D: int, S: int, n: int, p: int, m: int,
+    R: int, alpha: float, beta: float, tuning: bool, gen_gumbel: bool,
+    lik: str, lik_const: float, vi_in_kernel: bool, spd: float,
 ):
-    """PARTICLE-VECTORIZED formulation (k = 1, p <= 32).
+    """One grid step = one tree's conditional SMC for all C chains.
 
-    The per-particle fori formulation spent ~20 ns of fixed Mosaic
-    instruction overhead per op across ~60 ops x P x D x B calls per
-    draw (ablations: removing whole op groups barely moved the time —
-    the cost is instruction count, not FLOPs).  Here every instruction
-    covers ALL P particles: particle state is carried as (P, S)/(P, n)
-    VALUES through the static depth/node loops, growth is driven by a
-    static per-NODE loop (row masks (P, n), node quantities (P, 1)),
-    and the post-resampling ancestor gather is a handful of exact
-    selection matmuls (P, P) @ (P, *) — int arrays ride f32 (values
-    < 2^24), the u32 subset masks ride two 16-bit halves.
+    Particle state rides (C*P, S)/(C*P, n) values (chain-major rows);
+    every grow-loop instruction covers all chains and particles.  The
+    cold post-SMC section (winner selection, refinement, commit,
+    adaptation) is a static per-chain loop.
     """
-    k = 1  # n_outputs; callers gate on this
+    CP = C * P
+    bi = pl.program_id(0)
 
-    # ---- copy persistent state in -> out (whole-array ops) ----
-    sv_fo[:, :] = sv_fi[:, :]
-    sl_fo[:, :] = sl_fi[:, :]
-    st_fo[:, :] = st_fi[:, :]
-    lf_fo[:, :] = lf_fi[:, :]
-    ct_fo[:, :] = ct_fi[:, :]
-    sp_fo[:, :] = sp_fi[:, :]
-    tp_o[:, :] = tp_i[:, :]
-    sum_o[:, :] = sum_i[:, :]
-    av_o[:, :] = av_i[:, :]
-    wfm_o[:, :] = wfm_i[:, :]
-    wfm2_o[:, :] = wfm2_i[:, :]
+    @pl.when(bi == 0)
+    def _copy_in():
+        sv_fo[:, :] = sv_fi[:, :]
+        sl_fo[:, :] = sl_fi[:, :]
+        st_fo[:, :] = st_fi[:, :]
+        lf_fo[:, :] = lf_fi[:, :]
+        ct_fo[:, :] = ct_fi[:, :]
+        sp_fo[:, :] = sp_fi[:, :]
+        tp_o[:, :] = tp_i[:, :]
+        sum_o[:, :] = sum_i[:, :]
+        av_o[:, :] = av_i[:, :]
+        wfm_o[:, :] = wfm_i[:, :]
+        wfm2_o[:, :] = wfm2_i[:, :]
+        scal_o[:, :] = scal_i[:, :]
+        vi_o[:, :] = jnp.zeros((C, p), jnp.float32)
 
     # ---- shared blocks ----
     xtraw = xt_ref[:, :]                  # (p, n)
     xtnan = jnp.isnan(xtraw)
     xT_z = jnp.where(xtnan, 0.0, xtraw)
     xnanT_f = xtnan.astype(jnp.float32)
-    y2 = y_ref[:, :]                      # (1, n)
-    llw2 = llw_ref[:, :]                  # (1, n)
+    y2 = y_ref[:, :]                      # (1, n) shared across chains
+    llw_C = llw_ref[:, :]                 # (C, n) per-chain row data
     rules_row = rules_ref[:, :].astype(jnp.float32)  # (1, p)
     nf = jnp.float32(n)
 
-    idxP = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)[0]   # (P,) lanes
-    nonfrozen = idxP >= 1
-    iotaP_col = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)  # (P, 1)
-    frozen_c = (iotaP_col == 0)
-    frozen_f = frozen_c.astype(jnp.float32)        # (P, 1)
+    # lane/column bookkeeping (global particle q = chain*P + particle)
+    idxCP = jax.lax.broadcasted_iota(jnp.int32, (1, CP), 1)[0]   # (CP,)
+    pi_lane = idxCP % P
+    ci_lane = idxCP // P
+    nonfrozen = pi_lane >= 1
+    iotaCP_col = jax.lax.broadcasted_iota(jnp.int32, (CP, 1), 0)  # (CP, 1)
+    pi_col = iotaCP_col % P
+    ci_col = iotaCP_col // P
+    frozen_c = (pi_col == 0)
+    frozen_f = frozen_c.astype(jnp.float32)        # (CP, 1)
     frozen_i = frozen_c.astype(jnp.int32)
     nonfroz_f = 1.0 - frozen_f
-    iota_S_row = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)  # (1, S)
+    iotaC_col = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)    # (C, 1)
+    iota_S_row = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)   # (1, S)
     iota_p_row = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
-    lt_P = (jax.lax.broadcasted_iota(jnp.int32, (P, P), 0)
-            <= jax.lax.broadcasted_iota(jnp.int32, (P, P), 1)).astype(jnp.float32)
+    iota_4_row = jax.lax.broadcasted_iota(jnp.int32, (1, 4), 1)
+    iota_C_row = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    # chain-expansion one-hots: E (CP, C) row q -> chain q//P; Ect (C, CP)
+    E = (jax.lax.broadcasted_iota(jnp.int32, (CP, C), 1)
+         == ci_col).astype(jnp.float32)
+    Ect = (jax.lax.broadcasted_iota(jnp.int32, (C, CP), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (C, CP), 1) // P
+           ).astype(jnp.float32)
+    # block-diagonal lower-triangular (within-chain cumsum over lanes)
+    rPP = jax.lax.broadcasted_iota(jnp.int32, (CP, CP), 0)
+    cPP = jax.lax.broadcasted_iota(jnp.int32, (CP, CP), 1)
+    sameblock = (rPP // P) == (cPP // P)
+    lt_CP = ((rPP <= cPP) & sameblock).astype(jnp.float32)
     lt_p = (jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
             <= jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)).astype(jnp.float32)
-    iotaPP = jax.lax.broadcasted_iota(jnp.int32, (P, P), 1)
-    NEG = jnp.float32(-3e38)
 
     def mm(a, b):  # (r, c) @ (c, z) on the MXU
         return jax.lax.dot_general(
             a, b, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
+    def chain_sum_lane(v):
+        """(CP,) lane vector -> (CP,) per-chain sums broadcast back."""
+        s = mm(v[None, :], E)            # (1, C)
+        return mm(s, Ect)[0]             # (CP,)
+
+    def chain_max_lane(v):
+        """(CP,) lane vector -> (CP,) per-chain max broadcast back."""
+        out = jnp.zeros((CP,), jnp.float32)
+        for c in range(C):
+            msk = (ci_lane == c)
+            mx = jnp.max(jnp.where(msk, v, NEG))
+            out = out + mx * msk.astype(jnp.float32)
+        return out
+
     if gen_gumbel:
-        # on-chip generation of the B*D*P*n row-Gumbel block (2.4 MB per
-        # draw at bench shapes); see the module docstring for when this
-        # wins over the prefetched XLA block
-        pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1])
+        # on-chip row-Gumbel generation; fold the tree (grid) index into
+        # the seed words so every tree gets a fresh stream (the Mosaic
+        # PRNG accepts at most 2 seed values)
+        pltpu.prng_seed(seed_ref[0, 0] ^ (bi * 1103515245),
+                        seed_ref[0, 1] + bi)
 
     def fresh_gumbel():
-        bits = pltpu.prng_random_bits((P, n))
+        bits = pltpu.prng_random_bits((CP, n))
         u = (jax.lax.shift_right_logical(
             jax.lax.bitcast_convert_type(bits, jnp.int32), 8
         ).astype(jnp.float32) + 0.5) * jnp.float32(2.0 ** -24)
         return -jnp.log(-jnp.log(u))
 
-    def tree_body(bi, carry):
-        leaf_sd, wf_count, iteration = carry
-        jt = jt_ref[0, bi]
+    # ---- per-tree, per-chain state ----
+    jt_c = [jt_ref[c, bi] for c in range(C)]        # traced scalars
+    row_c = [c * m + jt_c[c] for c in range(C)]
 
-        tp_jt = tp_o[jt, :][None, :]           # (1, n)
-        sum_noi = sum_o[:, :] - tp_jt          # (1, n)
-        resid2 = y2 - sum_noi                  # (1, n)
+    tp_jt_C = jnp.concatenate(
+        [tp_o[pl.ds(row_c[c], 1), :] for c in range(C)], axis=0)   # (C, n)
+    sum_C = sum_o[:, :]
+    sum_noi_C = sum_C - tp_jt_C
+    resid2_C = y2 - sum_noi_C                       # (C, n)
 
-        av = jnp.maximum(av_o[:, :], 1e-12)    # (1, p)
-        cdf_row = mm(av, lt_p)                 # (1, p)
-        total = cdf_row[0, p - 1]
+    resid_e = mm(E, resid2_C)                       # (CP, n)
+    if lik != "bernoulli":
+        llw_e = mm(E, llw_C)
+    if lik != "gauss":
+        noi_e = mm(E, sum_noi_C)
 
-        # ---- init particles: slot 0 = frozen current tree, rest = root ----
-        t_sv = sv_fo[jt, :][None, :]           # (1, S) i32
-        t_sl = sl_fo[jt, :][None, :]
-        t_st_i = jax.lax.bitcast_convert_type(st_fo[jt, :], jnp.int32)[None, :]
-        t_lf = lf_fo[jt, :][None, :]
-        t_ct = ct_fo[jt, :][None, :]
-        root_mu = jnp.sum(resid2) / nf / m
+    av = jnp.maximum(av_o[:, :], 1e-12)             # (C, p)
+    cdf_C = mm(av, lt_p)                            # (C, p)
+    cdf_e = mm(E, cdf_C)                            # (CP, p)
+    total_col = jnp.sum(
+        cdf_e * (iota_p_row == p - 1).astype(jnp.float32),
+        axis=1, keepdims=True)                      # (CP, 1)
 
-        root_col = (iota_S_row == 0).astype(jnp.float32)   # (1, S)
-        sv_v = frozen_i * t_sv + (1 - frozen_i) * (-1)     # (P, S)
-        # stored split values may be NaN (ties/NaN covariates); blend on
-        # the BIT pattern — 0 * NaN would poison the fresh particles
-        sl_v = jax.lax.bitcast_convert_type(
-            frozen_i * jax.lax.bitcast_convert_type(t_sl, jnp.int32),
-            jnp.float32)
-        st_v = frozen_i * t_st_i
-        lf_v = frozen_f * t_lf + nonfroz_f * (root_mu * root_col)
-        ct_v = frozen_f * t_ct + nonfroz_f * (nf * root_col)
-        li_v = jnp.zeros((P, n), jnp.int32)
-        pred0 = frozen_f * t_lf[0, 0] + nonfroz_f * root_mu  # (P, 1)
-        pred_v = jnp.broadcast_to(pred0, (P, n))
+    leaf_sd_C = scal_o[:, 0:1]                      # (C, 1) carried
+    leaf_sd_cp = mm(E, leaf_sd_C)                   # (CP, 1)
 
-        def ll_of_pred(pv):  # (P, n) -> (P,) lane vector
-            diff = resid2 - pv
-            col = jnp.sum(llw2 * diff * diff, axis=1, keepdims=True)
-            return _row_from_col(-0.5 * col, P)
+    # frozen reference tree per chain, expanded to particle rows
+    t_sv_C = jnp.concatenate(
+        [sv_fo[pl.ds(row_c[c], 1), :] for c in range(C)], axis=0)  # (C, S) i32
+    t_sl_C = jnp.concatenate(
+        [sl_fo[pl.ds(row_c[c], 1), :] for c in range(C)], axis=0)
+    t_st_C = jax.lax.bitcast_convert_type(jnp.concatenate(
+        [st_fo[pl.ds(row_c[c], 1), :] for c in range(C)], axis=0), jnp.int32)
+    t_lf_C = jnp.concatenate(
+        [lf_fo[pl.ds(row_c[c], 1), :] for c in range(C)], axis=0)
+    t_ct_C = jnp.concatenate(
+        [ct_fo[pl.ds(row_c[c], 1), :] for c in range(C)], axis=0)
 
-        ll = ll_of_pred(pred_v)
-        log_w = ll
-        ll_prev = ll
-        take = idxP                                # identity ancestors
+    sv_exp = mm(E, (t_sv_C + 1).astype(jnp.float32)).astype(jnp.int32) - 1
+    sv_v = frozen_i * sv_exp + (1 - frozen_i) * (-1)               # (CP, S)
+    # stored split values may be NaN: expand the zeroed values and the
+    # NaN flags separately, then blend on the BIT pattern
+    sl_nan = jnp.isnan(t_sl_C)
+    sl_clean_e = mm(E, jnp.where(sl_nan, 0.0, t_sl_C))
+    sl_flag_e = mm(E, sl_nan.astype(jnp.float32))
+    sl_frozen = jnp.where(sl_flag_e > 0.5, jnp.nan, sl_clean_e)
+    sl_v = jax.lax.bitcast_convert_type(
+        frozen_i * jax.lax.bitcast_convert_type(sl_frozen, jnp.int32),
+        jnp.float32)
+    st_lo_e = mm(E, (t_st_C & 0xFFFF).astype(jnp.float32))
+    st_hi_e = mm(E, jax.lax.shift_right_logical(t_st_C, 16).astype(jnp.float32))
+    st_v = frozen_i * (st_lo_e.astype(jnp.int32)
+                       | (st_hi_e.astype(jnp.int32) << 16))
 
-        ug_t = ug_ref[bi]                          # (P, Gtot)
-        uv_t = uv_ref[bi]
-        eps_t = eps_ref[bi]                        # (P, 2*Gtot)
-        sb_t = jax.lax.bitcast_convert_type(sb_ref[bi], jnp.int32)
+    root_col = (iota_S_row == 0).astype(jnp.float32)   # (1, S)
+    root_sum_C = jnp.sum(resid2_C, axis=1, keepdims=True)          # (C, 1)
+    root_cp = mm(E, root_sum_C) / nf / m                           # (CP, 1)
+    lf_exp = mm(E, t_lf_C)
+    lf_v = frozen_f * lf_exp + nonfroz_f * (root_cp * root_col)
+    ct_exp = mm(E, t_ct_C)
+    ct_v = frozen_f * ct_exp + nonfroz_f * (nf * root_col)
+    li_v = jnp.zeros((CP, n), jnp.int32)
+    froot = jnp.sum(lf_exp * root_col, axis=1, keepdims=True)      # (CP, 1)
+    pred0 = frozen_f * froot + nonfroz_f * root_cp
+    pred_v = jnp.broadcast_to(pred0, (CP, n))
 
-        for d in range(D):
-            lo, hi = 2 ** d - 1, 2 ** (d + 1) - 1
-            G = hi - lo
-            p_grow = float(alpha * (1.0 + d) ** (-beta))
+    def ll_cols(pv):  # (CP, n) predictions -> (CP,) log-likelihood lanes
+        if lik == "gauss":
+            diff = resid_e - pv
+            col = -0.5 * jnp.sum(llw_e * diff * diff, axis=1, keepdims=True)
+        elif lik == "bernoulli":
+            F = noi_e + pv
+            col = jnp.sum(y2 * F - _softplus(F), axis=1, keepdims=True)
+        elif lik == "het_abs":
+            F = noi_e + pv
+            sg = jnp.abs(F) + lik_const
+            col = jnp.sum(-0.5 * llw_e / (sg * sg) - jnp.log(sg),
+                          axis=1, keepdims=True)
+        elif lik == "het_exp":
+            F = noi_e + pv
+            col = jnp.sum(-0.5 * llw_e * jnp.exp(-2.0 * F) - F,
+                          axis=1, keepdims=True)
+        else:
+            raise ValueError(lik)
+        return _row_from_col(col, CP)
 
-            if d > 0:
-                # ancestor gather via exact selection matmuls.  sl may
-                # hold NaNs: gather the zeroed values and the NaN flags
-                # separately (NaN * 0 = NaN would poison the matmul).
-                A = (iotaPP == take[:, None]).astype(jnp.float32)  # (P, P)
-                sl_isnan = jnp.isnan(sl_v)
-                sl_clean_g = mm(A, jnp.where(sl_isnan, 0.0, sl_v))
-                sl_flag_g = mm(A, sl_isnan.astype(jnp.float32))
-                sl_v = jnp.where(sl_flag_g > 0.5, jnp.nan, sl_clean_g)
-                lf_v = mm(A, lf_v)
-                ct_v = mm(A, ct_v)
-                pred_v = mm(A, pred_v)
-                sv_v = mm(A, (sv_v + 1).astype(jnp.float32)).astype(jnp.int32) - 1
-                li_v = mm(A, li_v.astype(jnp.float32)).astype(jnp.int32)
-                st_lo = mm(A, (st_v & 0xFFFF).astype(jnp.float32))
-                st_hi = mm(A, jax.lax.shift_right_logical(
-                    st_v, 16).astype(jnp.float32))
-                st_v = (st_lo.astype(jnp.int32)
-                        | (st_hi.astype(jnp.int32) << 16))
+    ll = ll_cols(pred_v)
+    log_w = ll
+    ll_prev = ll
+    take = idxCP
 
-            # per-level node quantities (P, G).  Mosaic broadcasts only
-            # 32-bit types, so (P, 1)-to-(P, G) blends ride f32/i32
-            # arithmetic instead of boolean masks.
-            sv_lvl = sv_v[:, lo:hi]
-            ct_lvl = ct_v[:, lo:hi]
-            u_v = uv_t[:, lo:hi] * total
-            var_lvl = jnp.zeros((P, G), jnp.int32)
-            for j in range(p - 1):
-                var_lvl = var_lvl + (cdf_row[0, j] < u_v).astype(jnp.int32)
-            want_lvl_f = ((ug_t[:, lo:hi] < p_grow).astype(jnp.float32)
-                          * (sv_lvl < 0).astype(jnp.float32)
-                          * (ct_lvl >= 2.0).astype(jnp.float32)
-                          * nonfroz_f)
-            var_eff_lvl = (frozen_i * jnp.clip(sv_lvl, 0, p - 1)
-                           + (1 - frozen_i) * var_lvl)
-            if gen_gumbel:
-                rg_d = fresh_gumbel()                  # (P, n)
-            else:
-                rg_d = rg_ref[bi * D + d]              # (P, n)
+    ug_t = ug_ref[0]                          # (CP, Gtot)
+    uv_t = uv_ref[0]
+    eps_t = eps_ref[0]                        # (CP, 2*Gtot)
+    sb_t = jax.lax.bitcast_convert_type(sb_ref[0], jnp.int32)
 
-            # ---- per-node growth: fori over the level's nodes ----
-            # A fully unrolled node loop (63 blocks at D=6) blows the
-            # Mosaic program up into ~20-minute compiles; a fori with a
-            # traced node index keeps the program one block per level.
-            # Dynamic lane slices of VALUES are not available, so node
-            # columns are mask-extracted: sum(arr * (iota == node)).
-            iota_G_row = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
-            iota_Gt_row = jax.lax.broadcasted_iota(
-                jnp.int32, (1, ug_t.shape[1]), 1)
-            iota_2Gt_row = jax.lax.broadcasted_iota(
-                jnp.int32, (1, eps_t.shape[1]), 1)
+    for d in range(D):
+        lo, hi = 2 ** d - 1, 2 ** (d + 1) - 1
+        G = hi - lo
+        p_grow = float(alpha * (1.0 + d) ** (-beta))
 
-            def g_body(g, st8):
-                sv_v, sl_v, st_v, lf_v, ct_v, li_v, pred_v = st8
-                node = lo + g
-                l = 2 * node + 1
-                r = 2 * node + 2
-                gmask = (iota_G_row == g).astype(jnp.float32)     # (1, G)
-                gmask_i = gmask.astype(jnp.int32)
-                ncol = (iota_S_row == node).astype(jnp.float32)   # (1, S)
-                ncol_i = ncol.astype(jnp.int32)
-                lcol = (iota_S_row == l).astype(jnp.float32)
-                rcol = (iota_S_row == r).astype(jnp.float32)
+        if d > 0:
+            # ancestor gather via exact selection matmuls (NaN-safe for sl)
+            A = (cPP == take[:, None]).astype(jnp.float32)  # (CP, CP)
+            sl_isnan = jnp.isnan(sl_v)
+            sl_clean_g = mm(A, jnp.where(sl_isnan, 0.0, sl_v))
+            sl_flag_g = mm(A, sl_isnan.astype(jnp.float32))
+            sl_v = jnp.where(sl_flag_g > 0.5, jnp.nan, sl_clean_g)
+            lf_v = mm(A, lf_v)
+            ct_v = mm(A, ct_v)
+            pred_v = mm(A, pred_v)
+            sv_v = mm(A, (sv_v + 1).astype(jnp.float32)).astype(jnp.int32) - 1
+            li_v = mm(A, li_v.astype(jnp.float32)).astype(jnp.int32)
+            st_lo = mm(A, (st_v & 0xFFFF).astype(jnp.float32))
+            st_hi = mm(A, jax.lax.shift_right_logical(
+                st_v, 16).astype(jnp.float32))
+            st_v = (st_lo.astype(jnp.int32)
+                    | (st_hi.astype(jnp.int32) << 16))
 
-                def ext_f(arr, mask_row):  # (P, Z) x (1, Z) -> (P, 1)
-                    return jnp.sum(arr * mask_row, axis=1, keepdims=True)
+        sv_lvl = sv_v[:, lo:hi]
+        ct_lvl = ct_v[:, lo:hi]
+        uv_lvl = uv_t[:, lo:hi]
+        want_lvl_f = ((ug_t[:, lo:hi] < p_grow).astype(jnp.float32)
+                      * (sv_lvl < 0).astype(jnp.float32)
+                      * (ct_lvl >= 2.0).astype(jnp.float32)
+                      * nonfroz_f)
+        if gen_gumbel:
+            rg_d = fresh_gumbel()                       # (CP, n)
+        else:
+            rg_d = rg_ref[0, d * CP:(d + 1) * CP, :]    # (CP, n)
 
-                def ext_i(arr_i, mask_row_i):
-                    return jnp.sum(arr_i * mask_row_i, axis=1,
-                                   keepdims=True)
+        # ---- per-node growth: fori over the level's nodes ----
+        # (a fully unrolled node loop blows the Mosaic compile up; node
+        # columns are mask-extracted: sum(arr * (iota == node)))
+        iota_G_row = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
+        iota_Gt_row = jax.lax.broadcasted_iota(
+            jnp.int32, (1, ug_t.shape[1]), 1)
+        iota_2Gt_row = jax.lax.broadcasted_iota(
+            jnp.int32, (1, eps_t.shape[1]), 1)
 
-                mask = li_v == node                            # (P, n)
-                mask_f = mask.astype(jnp.float32)
-                cnt = jnp.sum(mask_f, axis=1, keepdims=True)   # (P, 1)
+        def g_body(g, st8):
+            sv_v, sl_v, st_v, lf_v, ct_v, li_v, pred_v = st8
+            node = lo + g
+            l = 2 * node + 1
+            r = 2 * node + 2
+            gmask = (iota_G_row == g).astype(jnp.float32)     # (1, G)
+            gmask_i = gmask.astype(jnp.int32)
+            ncol = (iota_S_row == node).astype(jnp.float32)   # (1, S)
+            lcol = (iota_S_row == l).astype(jnp.float32)
+            rcol = (iota_S_row == r).astype(jnp.float32)
 
-                # the node's column of X per particle (exact selection)
-                var_eff = ext_i(var_eff_lvl, gmask_i)          # (P, 1)
-                onehot_var = (iota_p_row == var_eff).astype(jnp.float32)
-                xcol = mm(onehot_var, xT_z)                    # (P, n)
-                xnan_col_f = mm(onehot_var, xnanT_f)           # 0/1 values
-                rule_g = jnp.sum(onehot_var * rules_row, axis=1,
-                                 keepdims=True).astype(jnp.int32)
+            def ext_f(arr, mask_row):  # (CP, Z) x (1, Z) -> (CP, 1)
+                return jnp.sum(arr * mask_row, axis=1, keepdims=True)
 
-                # uniform row via Gumbel-max within the node
-                sc = jnp.where(mask, rg_d, NEG)
-                mx = jnp.max(sc, axis=1, keepdims=True)
-                win = ((sc == mx) & mask).astype(jnp.float32)
-                nwin = jnp.maximum(jnp.sum(win, axis=1, keepdims=True), 1.0)
-                val_g = jnp.sum(win * xcol, axis=1, keepdims=True) / nwin
-                valnan_g_f = jnp.minimum(
-                    jnp.sum(win * xnan_col_f, axis=1, keepdims=True), 1.0)
+            def ext_i(arr_i, mask_row_i):
+                return jnp.sum(arr_i * mask_row_i, axis=1, keepdims=True)
 
-                # stored split value at the node (NaN tracked separately:
-                # a NaN anywhere in sl_v would poison the extraction)
-                sl_nanflag = jnp.isnan(sl_v).astype(jnp.float32)
-                sl_clean = jnp.where(jnp.isnan(sl_v), 0.0, sl_v)
-                node_sl = ext_f(sl_clean, ncol)
-                node_sl_nan = ext_f(sl_nanflag, ncol)
-                valx = frozen_f * node_sl + nonfroz_f * val_g
-                valxnan_f = frozen_f * node_sl_nan + nonfroz_f * valnan_g_f
-                own_cat = jnp.clip(val_g.astype(jnp.int32), 0, 31)
-                sb_col = ext_i(sb_t, (iota_Gt_row == node).astype(jnp.int32))
-                st_prop = sb_col | (jnp.int32(1) << own_cat)
-                setx = (frozen_i * ext_i(st_v, ncol_i)
-                        + (1 - frozen_i) * st_prop)
+            mask = li_v == node                            # (CP, n)
+            mask_f = mask.astype(jnp.float32)
+            cnt = jnp.sum(mask_f, axis=1, keepdims=True)   # (CP, 1)
 
-                # routing decision for the node's rows (0/1 f32 algebra)
-                notnan_f = (1.0 - xnan_col_f) * (1.0 - valxnan_f)
-                cont_f = (xcol <= valx).astype(jnp.float32) * notnan_f
-                eq_f = (xcol == valx).astype(jnp.float32) * notnan_f
-                cat_rows = jnp.clip(xcol, 0.0, 31.0).astype(jnp.int32)
-                sub_f = ((setx >> cat_rows) & 1).astype(jnp.float32) \
-                    * (1.0 - xnan_col_f)
-                rr0_f = (rule_g == 0).astype(jnp.float32)
-                rr1_f = (rule_g == 1).astype(jnp.float32)
-                left_f = (rr0_f * cont_f + rr1_f * eq_f
-                          + (1.0 - rr0_f - rr1_f) * sub_f)
+            # split variable ~ categorical(alpha_vec): count CDF entries
+            # below the uniform (works to p = 512; the round-2 kernel's
+            # p-step scalar loop capped p at 32)
+            u_node = ext_f(uv_lvl, gmask) * total_col      # (CP, 1)
+            cnt_var = jnp.sum((cdf_e < u_node).astype(jnp.int32),
+                              axis=1, keepdims=True)
+            var_draw = jnp.clip(cnt_var, 0, p - 1)
+            sv_node = ext_i(sv_lvl + 1, gmask_i) - 1       # (CP, 1)
+            var_eff = (frozen_i * jnp.clip(sv_node, 0, p - 1)
+                       + (1 - frozen_i) * var_draw)
+            onehot_var = (iota_p_row == var_eff).astype(jnp.float32)
+            xcol = mm(onehot_var, xT_z)                    # (CP, n)
+            xnan_col_f = mm(onehot_var, xnanT_f)           # 0/1 values
+            rule_g = jnp.sum(onehot_var * rules_row, axis=1,
+                             keepdims=True).astype(jnp.int32)
 
-                lm = mask_f * left_f
-                cl = jnp.sum(lm, axis=1, keepdims=True)
-                cr = cnt - cl
-                grow_ok_f = (ext_f(want_lvl_f, gmask)
-                             * (cl > 0.5).astype(jnp.float32)
-                             * (cr > 0.5).astype(jnp.float32))
-                sv_col = ext_i(sv_lvl + 1, gmask_i) - 1  # ext of -1s needs shift
-                act_fin_f = (frozen_f * (sv_col >= 0).astype(jnp.float32)
-                             + nonfroz_f * grow_ok_f)
+            # uniform row via Gumbel-max within the node
+            sc = jnp.where(mask, rg_d, NEG)
+            mx = jnp.max(sc, axis=1, keepdims=True)
+            win = ((sc == mx) & mask).astype(jnp.float32)
+            nwin = jnp.maximum(jnp.sum(win, axis=1, keepdims=True), 1.0)
+            val_g = jnp.sum(win * xcol, axis=1, keepdims=True) / nwin
+            valnan_g_f = jnp.minimum(
+                jnp.sum(win * xnan_col_f, axis=1, keepdims=True), 1.0)
 
-                # children leaf values ~ N(child residual mean / m, sd);
-                # child c of level d rides eps column 2*lo + c = 2*node(+1)
-                sums_l = jnp.sum(resid2 * lm, axis=1, keepdims=True)
-                sums_t = jnp.sum(resid2 * mask_f, axis=1, keepdims=True)
-                sums_r = sums_t - sums_l
-                eps_l = ext_f(eps_t, (iota_2Gt_row == 2 * node
-                                      ).astype(jnp.float32))
-                eps_r = ext_f(eps_t, (iota_2Gt_row == 2 * node + 1
-                                      ).astype(jnp.float32))
-                mu_l = sums_l / jnp.maximum(cl, 1.0) / m + eps_l * leaf_sd
-                mu_r = sums_r / jnp.maximum(cr, 1.0) / m + eps_r * leaf_sd
-                lval = frozen_f * ext_f(lf_v, lcol) + nonfroz_f * mu_l
-                rval = frozen_f * ext_f(lf_v, rcol) + nonfroz_f * mu_r
+            # stored split value at the node (NaN tracked separately)
+            sl_nanflag = jnp.isnan(sl_v).astype(jnp.float32)
+            sl_clean = jnp.where(jnp.isnan(sl_v), 0.0, sl_v)
+            node_sl = ext_f(sl_clean, ncol)
+            node_sl_nan = ext_f(sl_nanflag, ncol)
+            valx = frozen_f * node_sl + nonfroz_f * val_g
+            valxnan_f = frozen_f * node_sl_nan + nonfroz_f * valnan_g_f
+            own_cat = jnp.clip(val_g.astype(jnp.int32), 0, 31)
+            sb_col = ext_i(sb_t, (iota_Gt_row == node).astype(jnp.int32))
+            st_prop = sb_col | (jnp.int32(1) << own_cat)
+            setx = (frozen_i * ext_i(st_v, ncol.astype(jnp.int32))
+                    + (1 - frozen_i) * st_prop)
 
-                # commit structure + children (single-column f32 blends)
-                mkn = ncol * grow_ok_f                 # (P, S) 0/1
-                mkn_i = mkn.astype(jnp.int32)
-                sv_v = mkn_i * var_eff + (1 - mkn_i) * sv_v
-                # commit the split value on the BIT pattern: the blended
-                # value may be NaN (NaN-covariate winner row) and a
-                # 0 * NaN float blend would poison uncommitted slots
-                val_commit = jnp.where(valnan_g_f > 0.5, jnp.nan, val_g)
-                sl_v = jax.lax.bitcast_convert_type(
-                    mkn_i * jax.lax.bitcast_convert_type(val_commit,
-                                                         jnp.int32)
-                    + (1 - mkn_i) * jax.lax.bitcast_convert_type(
-                        sl_v, jnp.int32),
-                    jnp.float32)
-                st_v = mkn_i * st_prop + (1 - mkn_i) * st_v
-                mkl = lcol * grow_ok_f
-                mkr = rcol * grow_ok_f
-                ct_v = mkl * cl + (1.0 - mkl) * ct_v
-                ct_v = mkr * cr + (1.0 - mkr) * ct_v
-                lf_v = mkl * mu_l + (1.0 - mkl) * lf_v
-                lf_v = mkr * mu_r + (1.0 - mkr) * lf_v
+            # routing decision for the node's rows (0/1 f32 algebra)
+            notnan_f = (1.0 - xnan_col_f) * (1.0 - valxnan_f)
+            cont_f = (xcol <= valx).astype(jnp.float32) * notnan_f
+            eq_f = (xcol == valx).astype(jnp.float32) * notnan_f
+            cat_rows = jnp.clip(xcol, 0.0, 31.0).astype(jnp.int32)
+            sub_f = ((setx >> cat_rows) & 1).astype(jnp.float32) \
+                * (1.0 - xnan_col_f)
+            rr0_f = (rule_g == 0).astype(jnp.float32)
+            rr1_f = (rule_g == 1).astype(jnp.float32)
+            left_f = (rr0_f * cont_f + rr1_f * eq_f
+                      + (1.0 - rr0_f - rr1_f) * sub_f)
 
-                # route rows + incremental prediction
-                dm_f = mask_f * act_fin_f              # (P, n) 0/1
-                dm_i = dm_f.astype(jnp.int32)
-                left_i = left_f.astype(jnp.int32)
-                li_v = dm_i * (l + 1 - left_i) + (1 - dm_i) * li_v
-                child_val = left_f * lval + (1.0 - left_f) * rval
-                pred_v = dm_f * child_val + (1.0 - dm_f) * pred_v
-                return (sv_v, sl_v, st_v, lf_v, ct_v, li_v, pred_v)
+            lm = mask_f * left_f
+            cl = jnp.sum(lm, axis=1, keepdims=True)
+            cr = cnt - cl
+            grow_ok_f = (ext_f(want_lvl_f, gmask)
+                         * (cl > 0.5).astype(jnp.float32)
+                         * (cr > 0.5).astype(jnp.float32))
+            act_fin_f = (frozen_f * (sv_node >= 0).astype(jnp.float32)
+                         + nonfroz_f * grow_ok_f)
 
-            (sv_v, sl_v, st_v, lf_v, ct_v, li_v, pred_v) = jax.lax.fori_loop(
-                0, G, g_body, (sv_v, sl_v, st_v, lf_v, ct_v, li_v, pred_v))
+            # children leaf values ~ N(child residual mean / m, sd)
+            sums_l = jnp.sum(resid_e * lm, axis=1, keepdims=True)
+            sums_t = jnp.sum(resid_e * mask_f, axis=1, keepdims=True)
+            sums_r = sums_t - sums_l
+            eps_l = ext_f(eps_t, (iota_2Gt_row == 2 * node
+                                  ).astype(jnp.float32))
+            eps_r = ext_f(eps_t, (iota_2Gt_row == 2 * node + 1
+                                  ).astype(jnp.float32))
+            mu_l = sums_l / jnp.maximum(cl, 1.0) / m + eps_l * leaf_sd_cp
+            mu_r = sums_r / jnp.maximum(cr, 1.0) / m + eps_r * leaf_sd_cp
+            lval = frozen_f * ext_f(lf_v, lcol) + nonfroz_f * mu_l
+            rval = frozen_f * ext_f(lf_v, rcol) + nonfroz_f * mu_r
 
-            ll = ll_of_pred(pred_v)
-            lw1 = log_w + ll - ll_prev
+            # commit structure + children (single-column f32 blends)
+            mkn = ncol * grow_ok_f                 # (CP, S) 0/1
+            mkn_i = mkn.astype(jnp.int32)
+            sv_v = mkn_i * var_eff + (1 - mkn_i) * sv_v
+            # commit the split value on the BIT pattern (may be NaN)
+            val_commit = jnp.where(valnan_g_f > 0.5, jnp.nan, val_g)
+            sl_v = jax.lax.bitcast_convert_type(
+                mkn_i * jax.lax.bitcast_convert_type(val_commit, jnp.int32)
+                + (1 - mkn_i) * jax.lax.bitcast_convert_type(sl_v, jnp.int32),
+                jnp.float32)
+            st_v = mkn_i * st_prop + (1 - mkn_i) * st_v
+            mkl = lcol * grow_ok_f
+            mkr = rcol * grow_ok_f
+            ct_v = mkl * cl + (1.0 - mkl) * ct_v
+            ct_v = mkr * cr + (1.0 - mkr) * ct_v
+            lf_v = mkl * mu_l + (1.0 - mkl) * lf_v
+            lf_v = mkr * mu_r + (1.0 - mkr) * lf_v
 
-            if d < D - 1:
-                # SMC bookkeeping — mirrors smc_pallas._kernel
-                u = u_res_ref[0, bi * D + d]
-                w_nf = jnp.where(nonfrozen, lw1, jnp.float32(-jnp.inf))
-                mxw = jnp.max(w_nf)
-                e = jnp.where(nonfrozen, jnp.exp(lw1 - mxw), 0.0)
-                tot = jnp.sum(e)
-                probs = e / tot
-                log_mean = mxw + jnp.log(tot / (P - 1))
-                ess = 1.0 / jnp.maximum(jnp.sum(probs * probs), 1e-38)
-                do = ess < 0.5 * (P - 1)
-                cdfP = mm(probs[None, :], lt_P)[0]
-                cdfP = cdfP / cdfP[P - 1]
-                pos = (u + idxP.astype(jnp.float32) - 1.0) / (P - 1)
-                cmp = (cdfP[None, :] < pos[:, None]) & nonfrozen[None, :]
-                anc = jnp.clip(jnp.sum(cmp.astype(jnp.int32), axis=1) + 1,
-                               1, P - 1)
-                resampled = do & nonfrozen
-                take = jnp.where(resampled, anc, idxP)
-                log_w = jnp.where(resampled, log_mean, lw1)
-                sel = (jax.lax.broadcasted_iota(jnp.int32, (P, P), 0)
-                       == take[None, :]).astype(jnp.float32)
-                ll_prev = mm(ll[None, :], sel)[0]
-            else:
-                log_w = lw1
+            # route rows + incremental prediction
+            dm_f = mask_f * act_fin_f              # (CP, n) 0/1
+            dm_i = dm_f.astype(jnp.int32)
+            left_i = left_f.astype(jnp.int32)
+            li_v = dm_i * (l + 1 - left_i) + (1 - dm_i) * li_v
+            child_val = left_f * lval + (1.0 - left_f) * rval
+            pred_v = dm_f * child_val + (1.0 - dm_f) * pred_v
+            return (sv_v, sl_v, st_v, lf_v, ct_v, li_v, pred_v)
 
-        # ---- categorical winner + refinement — mirrors select_pallas ----
-        mxw = jnp.max(log_w)
-        e = jnp.exp(log_w - mxw)
-        cdfP = mm(e[None, :], lt_P)[0]
-        u = u_sel_ref[0, bi] * cdfP[P - 1]
-        widx = jnp.clip(jnp.sum((cdfP < u).astype(jnp.int32)), 0, P - 1)
-        wsel = (idxP == widx).astype(jnp.float32)
-        wsel_i = wsel.astype(jnp.int32)[:, None]
+        (sv_v, sl_v, st_v, lf_v, ct_v, li_v, pred_v) = jax.lax.fori_loop(
+            0, G, g_body, (sv_v, sl_v, st_v, lf_v, ct_v, li_v, pred_v))
 
-        def pick2(mat_f32):  # (P, Z) -> (Z,)
-            return mm(wsel[None, :], mat_f32)[0]
+        ll = ll_cols(pred_v)
+        lw1 = log_w + ll - ll_prev
 
-        sv_w = jnp.sum(sv_v * wsel_i, axis=0)
-        st_w = jnp.sum(st_v * wsel_i, axis=0)
-        li_w = jnp.sum(li_v * wsel_i, axis=0)
-        sl_w = pick2(sl_v)
-        ct_w = pick2(ct_v)
-        lf_w = pick2(lf_v)
-        pred_w = pick2(pred_v)
+        if d < D - 1:
+            # per-chain ESS-gated systematic resampling (block-diagonal
+            # CDF matmul; per-chain normalizers via segment matmuls)
+            u_row = jnp.zeros((1, C), jnp.float32)
+            for c in range(C):
+                u_row = u_row + u_res_ref[c, bi * D + d] \
+                    * (iota_C_row == c).astype(jnp.float32)
+            u_cp = mm(u_row, Ect)[0]                        # (CP,)
+            w_nf = jnp.where(nonfrozen, lw1, jnp.float32(-jnp.inf))
+            mxw_cp = chain_max_lane(w_nf)
+            e = jnp.where(nonfrozen, jnp.exp(lw1 - mxw_cp), 0.0)
+            tot_cp = chain_sum_lane(e)
+            probs = e / tot_cp
+            log_mean_cp = mxw_cp + jnp.log(tot_cp / (P - 1))
+            ess_cp = 1.0 / jnp.maximum(chain_sum_lane(probs * probs), 1e-38)
+            do_cp = ess_cp < 0.5 * (P - 1)
+            cdfP = mm(probs[None, :], lt_CP)[0]
+            last_cp = chain_sum_lane(cdfP * (pi_lane == P - 1
+                                             ).astype(jnp.float32))
+            cdfP = cdfP / last_cp
+            pos = (u_cp + pi_lane.astype(jnp.float32) - 1.0) / (P - 1)
+            cmp = ((cdfP[None, :] < pos[:, None])
+                   & nonfrozen[None, :] & sameblock)
+            anc_within = jnp.clip(
+                jnp.sum(cmp.astype(jnp.int32), axis=1) + 1, 1, P - 1)
+            anc = ci_lane * P + anc_within
+            resampled = do_cp & nonfrozen
+            take = jnp.where(resampled, anc, idxCP)
+            log_w = jnp.where(resampled, log_mean_cp, lw1)
+            sel = (rPP == take[None, :]).astype(jnp.float32)
+            ll_prev = mm(ll[None, :], sel)[0]
+        else:
+            log_w = lw1
 
-        resid1 = resid2[0]
-        llw1 = llw2[0]
-        leaf_mask = ((sv_w < 0) & (ct_w > 0)).astype(jnp.float32)
-        soh = (jax.lax.broadcasted_iota(jnp.int32, (S, n), 0)
-               == li_w[None, :]).astype(jnp.float32)
+    # ---- winner + refinement + commit: cold per-chain loop ----
+    eyeS = (jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)).astype(jnp.float32)
+    iota_Sp = jax.lax.broadcasted_iota(jnp.int32, (S, p), 1)
+    iota_Sn = jax.lax.broadcasted_iota(jnp.int32, (S, n), 0)
+    scal_rows = []
+    for c in range(C):
+        cm_lane = (ci_lane == c)
+        mxw = jnp.max(jnp.where(cm_lane, log_w, NEG))
+        e = jnp.where(cm_lane, jnp.exp(log_w - mxw), 0.0)
+        cdfPc = mm(e[None, :], lt_CP)[0]
+        total = jnp.sum(e)
+        u = u_sel_ref[c, bi] * total
+        widx = jnp.clip(jnp.sum(((cdfPc < u) & cm_lane).astype(jnp.int32)),
+                        0, P - 1) + c * P
+        wsel = (idxCP == widx).astype(jnp.float32)[None, :]   # (1, CP)
+
+        sv_w = mm(wsel, (sv_v + 1).astype(jnp.float32)) - 1.0  # (1, S) f32
+        st_lo_w = mm(wsel, (st_v & 0xFFFF).astype(jnp.float32))
+        st_hi_w = mm(wsel, jax.lax.shift_right_logical(
+            st_v, 16).astype(jnp.float32))
+        st_w = (st_lo_w.astype(jnp.int32) | (st_hi_w.astype(jnp.int32) << 16))
+        sl_isnan = jnp.isnan(sl_v)
+        sl_clean_w = mm(wsel, jnp.where(sl_isnan, 0.0, sl_v))
+        sl_flag_w = mm(wsel, sl_isnan.astype(jnp.float32))
+        sl_w = jnp.where(sl_flag_w > 0.5, jnp.nan, sl_clean_w)
+        lf_w = mm(wsel, lf_v)                                  # (1, S)
+        ct_w = mm(wsel, ct_v)
+        li_w = mm(wsel, li_v.astype(jnp.float32)).astype(jnp.int32)  # (1, n)
+        pred_w = mm(wsel, pred_v)                              # (1, n)
+
+        resid1 = resid2_C[c:c + 1, :]                          # (1, n)
+        noi1 = sum_noi_C[c:c + 1, :]
+        llw1 = llw_C[c:c + 1, :]
+        ls_c = jnp.sum(leaf_sd_C * (iotaC_col == c))           # scalar
+        leaf_mask = ((sv_w < -0.5) & (ct_w > 0)).astype(jnp.float32)
+        soh = (iota_Sn == li_w).astype(jnp.float32)            # (S, n)
         leaf_rsum = jax.lax.dot_general(
-            resid1[None, :], soh, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)[0]
+            resid1, soh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (1, S)
         prior_center = leaf_rsum / jnp.maximum(ct_w, 1.0) / m
 
-        def ll_of(pred_x):
-            diff = resid1 - pred_x
-            return -0.5 * jnp.sum(llw1 * diff * diff)
+        def ll_of(pred_row):
+            if lik == "gauss":
+                diff = resid1 - pred_row
+                return -0.5 * jnp.sum(llw1 * diff * diff)
+            if lik == "bernoulli":
+                F = noi1 + pred_row
+                return jnp.sum(y2 * F - _softplus(F))
+            if lik == "het_abs":
+                F = noi1 + pred_row
+                sg = jnp.abs(F) + lik_const
+                return jnp.sum(-0.5 * llw1 / (sg * sg) - jnp.log(sg))
+            F = noi1 + pred_row
+            return jnp.sum(-0.5 * llw1 * jnp.exp(-2.0 * F) - F)
 
         # MH acceptance = likelihood ratio x leaf-prior ratio, the prior
         # being the growth proposal N(leaf residual mean / m, leaf_sd)
-        hiv = 0.5 / (leaf_sd * leaf_sd)
+        hiv = 0.5 / (ls_c * ls_c)
 
         def lp_of(lf_x):
             dev = lf_x - prior_center
             return -hiv * jnp.sum(leaf_mask * dev * dev)
 
         ll_c = ll_of(pred_w) + lp_of(lf_w)
-        eps_scale = 0.3 * leaf_sd
+        eps_scale = 0.3 * ls_c
         for r_i in range(R):
-            lf_p = lf_w + epsr_ref[bi * R + r_i, 0, :] * eps_scale * leaf_mask
-            pred_p = mm(lf_p[None, :], soh)[0]
+            eps_row = epsr_ref[0, pl.ds(r_i * C + c, 1), :]    # (1, S)
+            lf_p = lf_w + eps_row * eps_scale * leaf_mask
+            pred_p = mm(lf_p, soh)                             # (1, n)
             ll_p = ll_of(pred_p) + lp_of(lf_p)
-            acc = jnp.log(u_acc_ref[0, bi * R + r_i]) < (ll_p - ll_c)
+            acc = jnp.log(u_acc_ref[c, bi * R + r_i]) < (ll_p - ll_c)
             accf = acc.astype(jnp.float32)
             lf_w = accf * lf_p + (1.0 - accf) * lf_w
             pred_w = accf * pred_p + (1.0 - accf) * pred_w
             ll_c = jnp.where(acc, ll_p, ll_c)
 
-        # ---- commit winner into the forest + running sums ----
-        sv_fo[jt, :] = sv_w
-        sl_fo[jt, :] = sl_w
-        st_fo[jt, :] = jax.lax.bitcast_convert_type(st_w, jnp.uint32)
-        lf_fo[jt, :] = lf_w
-        ct_fo[jt, :] = ct_w
-        sp_fo[jt, :] = jnp.zeros((S,), jnp.float32)
-        tp_o[jt, :] = pred_w
-        sum_o[0, :] = sum_noi[0] + pred_w
-        iteration = iteration + 1.0
+        # ---- commit winner into the chain's forest + running sums ----
+        sv_w_i = sv_w.astype(jnp.int32)
+        sv_fo[pl.ds(row_c[c], 1), :] = sv_w_i
+        sl_fo[pl.ds(row_c[c], 1), :] = sl_w
+        st_fo[pl.ds(row_c[c], 1), :] = jax.lax.bitcast_convert_type(
+            st_w, jnp.uint32)
+        lf_fo[pl.ds(row_c[c], 1), :] = lf_w
+        ct_fo[pl.ds(row_c[c], 1), :] = ct_w
+        sp_fo[pl.ds(row_c[c], 1), :] = jnp.zeros((1, S), jnp.float32)
+        tp_o[pl.ds(row_c[c], 1), :] = pred_w
+        sum_o[c:c + 1, :] = noi1 + pred_w
 
+        wf_count = jnp.sum(scal_o[c:c + 1, :]
+                           * (iota_4_row == 1).astype(jnp.float32))
+        iteration = jnp.sum(scal_o[c:c + 1, :]
+                            * (iota_4_row == 2).astype(jnp.float32)) + 1.0
+        new_ls = ls_c
         if tuning:
             # Dirichlet-style split-prior adaptation: +1 per SPLIT NODE
-            # using the variable (multiset — see sampler/pgbart.py)
-            used = (sv_w[:, None]
-                    == jax.lax.broadcasted_iota(jnp.int32, (S, p), 1))
-            tcounts = used.astype(jnp.float32).sum(axis=0)
-            av_o[0, :] = av_o[0, :] + tcounts
+            # using the variable (multiset — see sampler/pgbart.py).
+            # tcounts via matmul one-hot so the cost is p-independent.
+            sv_col = _col_from_row(sv_w, S)                   # (S, 1)
+            used = (sv_col.astype(jnp.int32) == iota_Sp).astype(jnp.float32)
+            tcounts = mm(jnp.ones((1, S), jnp.float32), used)  # (1, p)
+            av_o[c:c + 1, :] = av_o[c:c + 1, :] * spd + tcounts
             # Welford running leaf variance -> leaf_sd
             wf_count = wf_count + 1.0
-            pred_w2 = pred_w[None, :]
-            delta = pred_w2 - wfm_o[:, :]
-            wfm_new = wfm_o[:, :] + delta / wf_count
-            wfm2_new = wfm2_o[:, :] + delta * (pred_w2 - wfm_new)
-            wfm_o[:, :] = wfm_new
-            wfm2_o[:, :] = wfm2_new
+            wfm_row = wfm_o[c:c + 1, :]
+            delta = pred_w - wfm_row
+            wfm_new = wfm_row + delta / wf_count
+            wfm2_new = wfm2_o[c:c + 1, :] + delta * (pred_w - wfm_new)
+            wfm_o[c:c + 1, :] = wfm_new
+            wfm2_o[c:c + 1, :] = wfm2_new
             sd = jnp.sum(
                 jnp.sqrt(jnp.maximum(wfm2_new / jnp.maximum(wf_count, 1.0),
                                      1e-12))) / nf
-            leaf_sd = jnp.where(iteration > m, jnp.maximum(sd, 1e-6), leaf_sd)
+            new_ls = jnp.where(iteration > m, jnp.maximum(sd, 1e-6), ls_c)
+        scal_rows.append(
+            jnp.where(iota_4_row == 0, new_ls,
+                      jnp.where(iota_4_row == 1, wf_count,
+                                jnp.where(iota_4_row == 2, iteration, 0.0))))
+    for c in range(C):
+        scal_o[c:c + 1, :] = scal_rows[c]
 
-        return (leaf_sd, wf_count, iteration)
-
-    leaf_sd0 = scal_ref[0, 0]
-    wf_count0 = scal_ref[0, 1]
-    iteration0 = scal_ref[0, 2]
-    leaf_sd, wf_count, iteration = jax.lax.fori_loop(
-        0, B, tree_body, (leaf_sd0, wf_count0, iteration0))
-
-    i4 = jax.lax.broadcasted_iota(jnp.int32, (1, 4), 1)[0]
-    scal_o[0, :] = jnp.where(
-        i4 == 0, leaf_sd,
-        jnp.where(i4 == 1, wf_count, jnp.where(i4 == 2, iteration, 0.0)))
-
-    # per-draw variable-inclusion histogram over the whole forest
-    # (replaces a separate ~0.25 ms XLA dispatch per draw)
-    sv_all = sv_fo[:, :]                              # (m, S)
-    vi_row = jnp.zeros((1, p), jnp.float32)
-    for j in range(p):
-        cnt_j = jnp.sum((sv_all == j).astype(jnp.float32))
-        vi_row = jnp.where(iota_p_row == j, cnt_j, vi_row)
-    vi_o[:, :] = vi_row
+    if vi_in_kernel:
+        @pl.when(bi == B - 1)
+        def _vi():
+            # per-draw variable-inclusion histogram over each chain's
+            # forest (replaces a separate XLA dispatch per draw)
+            for c in range(C):
+                sv_blk = sv_fo[c * m:(c + 1) * m, :]          # (m, S)
+                vi_row = jnp.zeros((1, p), jnp.float32)
+                for j in range(p):
+                    cnt_j = jnp.sum((sv_blk == j).astype(jnp.float32))
+                    vi_row = jnp.where(iota_p_row == j, cnt_j, vi_row)
+                vi_o[c:c + 1, :] = vi_row
 
 
 # ---------------------------------------------------------------------------
-# RNG preparation
+# RNG preparation (single chain; the chains wrapper vmaps over keys)
 # ---------------------------------------------------------------------------
 
 
 def _rands_reference(key, B, P, D, n, Gtot, R, S, num_refinements):
     """Replicate the exact per-tree key-split sequence of
-    ``pgbart_step``/``_update_one_tree`` (fused-Gaussian Pallas branch) so
-    the megakernel is bit-comparable given the same top-level key."""
+    ``pgbart_step``/``_update_one_tree`` (fused-likelihood branch) so the
+    megakernel is bit-comparable given the same top-level key."""
     k = 1
     ug, uv, rg, eps, sb, ures, usel, epsr, uacc = ([] for _ in range(9))
     kc = key
@@ -574,156 +694,290 @@ def _rands_batched(key, B, P, D, n, Gtot, R, S, num_refinements):
 
 
 # ---------------------------------------------------------------------------
-# Public wrapper
+# Support gate
 # ---------------------------------------------------------------------------
 
 
 def fused_draw_unsupported_reason(cfg: BartConfig, pg: PgbartConfig, X,
-                                  gauss_w):
+                                  gauss_w, lik: str = "gauss"):
     """None when the whole-draw megakernel covers this configuration,
     else a human-readable reason for the fallback (surfaced by
     ``sample()`` so users know when they left the fast path).
 
-    p <= 32: the vectorized kernel draws split variables by a p-step
-    compare-count over the weight CDF; wider X falls back to the
-    per-round kernel path."""
-    if gauss_w is None:
+    p <= 512: the kernel draws split variables by a per-node
+    compare-count against the (C*P, p) weight-CDF block; wider X falls
+    back to the per-round path."""
+    if lik not in ("gauss", "bernoulli", "het_abs", "het_exp"):
+        return (f"likelihood is not fused ({lik!r}); no closed-form "
+                "per-row log-likelihood available in-kernel")
+    if lik != "bernoulli" and gauss_w is None:
         return ("likelihood is not fused-Gaussian (no per-observation "
-                "precision available)")
+                "row data available)")
     if cfg.response != "constant":
         return f"response={cfg.response!r} (megakernel covers 'constant')"
     if cfg.n_outputs != 1:
-        return f"n_outputs={cfg.n_outputs} (megakernel covers 1)"
+        return (f"n_outputs={cfg.n_outputs} (megakernel covers 1; use "
+                "separate_trees=True to give each output its own fused "
+                "forest)")
     n, p = X.shape
-    if p > 32:
-        return f"p={p} covariates (megakernel CDF search covers p <= 32)"
+    if p > 512:
+        return f"p={p} covariates (megakernel CDF search covers p <= 512)"
     if n * p > 2_000_000:
         return f"X size n*p={n * p} exceeds the 2M-element VMEM budget"
-    # the pre-drawn row-Gumbel block must fit VMEM comfortably
-    B = max(pg.batch_size(cfg.m, True), pg.batch_size(cfg.m, False))
-    if B * cfg.max_depth * pg.num_particles * n * 4 > 6_000_000:
-        return ("per-draw row-Gumbel block (batch x depth x particles x n) "
+    # the per-tree row-Gumbel block must fit VMEM comfortably (per chain;
+    # the chains wrapper re-checks with the actual chain count)
+    if cfg.max_depth * pg.num_particles * n * 4 > 6_000_000:
+        return ("per-tree row-Gumbel block (depth x particles x n) "
                 "exceeds the 6 MB VMEM budget")
     return None
 
 
 def fused_draw_supported(cfg: BartConfig, pg: PgbartConfig, X,
-                         gauss_w) -> bool:
+                         gauss_w, lik: str = "gauss") -> bool:
     """Whether the whole-draw megakernel covers this configuration."""
-    return fused_draw_unsupported_reason(cfg, pg, X, gauss_w) is None
+    return fused_draw_unsupported_reason(cfg, pg, X, gauss_w, lik) is None
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "pg", "tuning", "rng_mode"))
-def pgbart_step_fused(key, state, X, Y_target, rules, cfg: BartConfig,
-                      pg: PgbartConfig, gauss_w, tuning: bool,
-                      rng_mode: str = "batched"):
-    """One full PGBART MCMC step as a single Pallas program.
+def _chains_vmem_ok(C: int, cfg: BartConfig, pg: PgbartConfig, n: int,
+                    m: int) -> bool:
+    """Rough VMEM budget for C chains in one kernel instance."""
+    CP = C * pg.num_particles
+    rg_block = cfg.max_depth * CP * n * 4 * 2       # double-buffered
+    forest = 2 * 6 * C * m * cfg.n_nodes * 4
+    tp = 2 * C * m * n * 4
+    transient = 3 * CP * n * 4 + cfg.n_nodes * n * 4
+    return rg_block + forest + tp + transient < 13_000_000
 
-    Drop-in for ``pgbart.pgbart_step`` on the fused-Gaussian path
-    (``gauss_w`` = per-observation precision, (n, k)).  Returns
-    ``(new_state, variable_inclusion_counts)``.
+
+# ---------------------------------------------------------------------------
+# Chain-batched implementation
+# ---------------------------------------------------------------------------
+
+
+def _chains_impl(keys, state, X, Y_target, rules, cfg: BartConfig,
+                 pg: PgbartConfig, lik_row, tuning: bool, rng_mode: str,
+                 lik: str, lik_const: float):
+    """Run one PGBART step for C chains in ONE kernel instance.
+
+    ``keys``: (C,) per-chain PRNG keys; ``state``: PgbartState pytree with
+    a leading C axis on every field; ``lik_row``: (C, n, 1) per-row
+    likelihood data or None (bernoulli).  X / Y_target / rules are shared
+    across chains.  Returns (state with leading C, vi (C, p)).
     """
     from ..sampler.pgbart import PgbartState
+    from ..ops.trees import Forest
 
-    m, S = state.forest.split_var.shape
+    C, m, S = state.forest.split_var.shape
     n, p = X.shape
     P = pg.num_particles
     D = cfg.max_depth
     B = pg.batch_size(m, tuning)
     Gtot = 2 ** D - 1
     R = max(pg.num_refinements, 1)
+    CP = C * P
 
-    # the Mosaic PRNG has no interpret-mode lowering: "kernel" silently
-    # degrades to "batched" on CPU (statistically equivalent)
     gen_gumbel = rng_mode == "kernel" and jax.default_backend() != "cpu"
     if gen_gumbel:
-        # "kernel": the big (B, D, P, n) row-Gumbel block is generated
-        # on-chip by the Mosaic PRNG seeded from the step key; the small
-        # node-level blocks stay on the jax.random stream
-        ug, uv, _rg, eps, sb, ures, usel, epsr, uacc = _rands_batched(
-            key, B, P, D, 1, Gtot, R, S, pg.num_refinements)
-        rg = jnp.zeros((1, 1, 1), jnp.float32)
+        ug, uv, _rg, eps, sb, ures, usel, epsr, uacc = jax.vmap(
+            lambda k_: _rands_batched(k_, B, P, D, 1, Gtot, R, S,
+                                      pg.num_refinements))(keys)
+        rg = jnp.zeros((B, 1, 1), jnp.float32)
     else:
         make = _rands_reference if rng_mode == "reference" else _rands_batched
-        ug, uv, rg, eps, sb, ures, usel, epsr, uacc = make(
-            key, B, P, D, n, Gtot, R, S, pg.num_refinements)
-        rg = rg.reshape(B * D, P, n)
-    kd = (jax.random.key_data(key)
-          if jax.dtypes.issubdtype(key.dtype, jax.dtypes.prng_key)
-          else key)
+        ug, uv, rg, eps, sb, ures, usel, epsr, uacc = jax.vmap(
+            lambda k_: make(k_, B, P, D, n, Gtot, R, S,
+                            pg.num_refinements))(keys)
+        # (C, B, D, P, n) -> (B, D*C*P, n): level-major, chain-major rows
+        rg = rg.transpose(1, 2, 0, 3, 4).reshape(B, D * CP, n)
+    # (C, B, P, Z) -> (B, C*P, Z)
+    ug = ug.transpose(1, 0, 2, 3).reshape(B, CP, Gtot)
+    uv = uv.transpose(1, 0, 2, 3).reshape(B, CP, Gtot)
+    eps = eps.transpose(1, 0, 2, 3, 4).reshape(B, CP, 2 * Gtot)
+    sb = sb.transpose(1, 0, 2, 3).reshape(B, CP, Gtot)
+    ures = ures.reshape(C, B * D)
+    usel = usel.reshape(C, B)
+    # (C, B, R, 1, S) -> (B, R*C, S): refinement-major, chain-minor rows
+    epsr = epsr.reshape(C, B, R, S).transpose(1, 2, 0, 3).reshape(B, R * C, S)
+    uacc = uacc.reshape(C, B * R)
+
+    kd = (jax.random.key_data(keys[0])
+          if jax.dtypes.issubdtype(keys.dtype, jax.dtypes.prng_key)
+          else keys[0])
     seed = jax.lax.bitcast_convert_type(
         kd.reshape(-1)[-2:].astype(jnp.uint32), jnp.int32).reshape(1, 2)
 
     f = state.forest
-    scal = jnp.stack([state.leaf_sd[0], state.wf_count,
-                      state.iteration.astype(jnp.float32)])
+    scal = jnp.stack([state.leaf_sd[:, 0], state.wf_count,
+                      state.iteration.astype(jnp.float32),
+                      jnp.zeros((C,), jnp.float32)], axis=1)      # (C, 4)
+    jt_all = ((state.batch_offset[:, None]
+               + jnp.arange(B, dtype=jnp.int32)[None, :]) % m)    # (C, B)
+    llw = (jnp.ones((C, n), jnp.float32) if lik_row is None
+           else lik_row.reshape(C, n))
 
+    vi_in_kernel = p <= 32
     out_shape = [
-        jax.ShapeDtypeStruct((m, S), jnp.int32),
-        jax.ShapeDtypeStruct((m, S), jnp.float32),
-        jax.ShapeDtypeStruct((m, S), jnp.uint32),
-        jax.ShapeDtypeStruct((m, S), jnp.float32),
-        jax.ShapeDtypeStruct((m, S), jnp.float32),
-        jax.ShapeDtypeStruct((m, S), jnp.float32),
-        jax.ShapeDtypeStruct((m, n), jnp.float32),
-        jax.ShapeDtypeStruct((1, n), jnp.float32),
-        jax.ShapeDtypeStruct((1, p), jnp.float32),
-        jax.ShapeDtypeStruct((1, n), jnp.float32),
-        jax.ShapeDtypeStruct((1, n), jnp.float32),
-        jax.ShapeDtypeStruct((1, 4), jnp.float32),
-        jax.ShapeDtypeStruct((1, p), jnp.float32),
+        jax.ShapeDtypeStruct((C * m, S), jnp.int32),
+        jax.ShapeDtypeStruct((C * m, S), jnp.float32),
+        jax.ShapeDtypeStruct((C * m, S), jnp.uint32),
+        jax.ShapeDtypeStruct((C * m, S), jnp.float32),
+        jax.ShapeDtypeStruct((C * m, S), jnp.float32),
+        jax.ShapeDtypeStruct((C * m, S), jnp.float32),
+        jax.ShapeDtypeStruct((C * m, n), jnp.float32),
+        jax.ShapeDtypeStruct((C, n), jnp.float32),
+        jax.ShapeDtypeStruct((C, p), jnp.float32),
+        jax.ShapeDtypeStruct((C, n), jnp.float32),
+        jax.ShapeDtypeStruct((C, n), jnp.float32),
+        jax.ShapeDtypeStruct((C, 4), jnp.float32),
+        jax.ShapeDtypeStruct((C, p), jnp.float32),
     ]
     kernel = functools.partial(
-        _draw_kernel, B=B, P=P, D=D, S=S, n=n, p=p, m=m, R=R,
+        _draw_kernel, C=C, B=B, P=P, D=D, S=S, n=n, p=p, m=m, R=R,
         alpha=float(cfg.alpha), beta=float(cfg.beta), tuning=tuning,
-        gen_gumbel=gen_gumbel,
+        gen_gumbel=gen_gumbel, lik=lik, lik_const=float(lik_const),
+        vi_in_kernel=vi_in_kernel, spd=float(pg.split_prior_decay),
     )
-    jt_all = (state.batch_offset + jnp.arange(B, dtype=jnp.int32)) % m
+
+    def full(shape):
+        zeros = (0,) * len(shape)
+        return pl.BlockSpec(shape, lambda b, _z=zeros: _z,
+                            memory_space=pltpu.VMEM)
+
+    def per_tree(shape):
+        rest = (0,) * (len(shape) - 1)
+        return pl.BlockSpec((1,) + shape[1:], lambda b, _r=rest: (b,) + _r,
+                            memory_space=pltpu.VMEM)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = (
+        [smem] * 5
+        + [full(s) for s in [
+            (C, 4), (C * m, S), (C * m, S), (C * m, S), (C * m, S),
+            (C * m, S), (C * m, S), (C * m, n), (C, n),
+            (1, n), (p, n), (1, p), (C, p), (C, n), (C, n), (C, n)]]
+        + [per_tree(a.shape) for a in (ug, uv, rg, eps, sb, epsr)]
+    )
+    out_specs = [full(s.shape) for s in out_shape]
     out = pl.pallas_call(
         kernel,
+        grid=(B,),
         out_shape=out_shape,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 6
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 21,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 13,
+        in_specs=in_specs,
+        out_specs=out_specs,
         interpret=(jax.default_backend() == "cpu"),
     )(
-        jt_all.reshape(1, B), scal.reshape(1, 3),
-        ures.reshape(1, B * D), usel.reshape(1, B), uacc.reshape(1, B * R),
-        seed,
-        f.split_var, f.split_val, f.split_set,
-        f.leaf[:, :, 0], f.count, f.slope[:, :, 0],
-        state.tree_pred[:, :, 0],
-        state.sum_trees.T,
-        Y_target.reshape(n, 1).T,
+        jt_all, ures, usel, uacc, seed,
+        scal,
+        f.split_var.reshape(C * m, S), f.split_val.reshape(C * m, S),
+        f.split_set.reshape(C * m, S), f.leaf.reshape(C * m, S),
+        f.count.reshape(C * m, S), f.slope.reshape(C * m, S),
+        state.tree_pred.reshape(C * m, n),
+        state.sum_trees.reshape(C, n),
+        Y_target.reshape(1, n),
         X.T, rules.reshape(1, p),
-        state.alpha_vec.reshape(1, p),
-        gauss_w.reshape(n, 1).T,
-        state.wf_mean.T, state.wf_m2.T,
-        ug, uv,
-        rg,
-        eps.reshape(B, P, 2 * Gtot),
-        sb,
-        epsr.reshape(B * R, 1, S),
+        state.alpha_vec.reshape(C, p),
+        llw,
+        state.wf_mean.reshape(C, n), state.wf_m2.reshape(C, n),
+        ug, uv, rg, eps, sb, epsr,
     )
     (sv_o, sl_o, st_o, lf_o, ct_o, sp_o, tp_o, sum_o, av_o,
      wfm_o, wfm2_o, scal_o, vi_o) = out
 
-    from ..ops.trees import Forest
+    if not vi_in_kernel:
+        sv_r = sv_o.reshape(C, m * S)
+        vi_o = (sv_r[:, :, None]
+                == jnp.arange(p, dtype=jnp.int32)[None, None, :]
+                ).astype(jnp.float32).sum(axis=1)
 
     forest = Forest(
-        sv_o, sl_o, st_o, lf_o[:, :, None], ct_o, sp_o[:, :, None],
+        sv_o.reshape(C, m, S), sl_o.reshape(C, m, S),
+        st_o.reshape(C, m, S), lf_o.reshape(C, m, S, 1),
+        ct_o.reshape(C, m, S), sp_o.reshape(C, m, S, 1),
     )
     new_state = PgbartState(
         forest=forest,
-        tree_pred=tp_o[:, :, None],
-        sum_trees=sum_o.T,
-        alpha_vec=av_o.reshape(p),
-        leaf_sd=scal_o[0, 0].reshape(1),
-        wf_count=scal_o[0, 1],
-        wf_mean=wfm_o.T,
-        wf_m2=wfm2_o.T,
+        tree_pred=tp_o.reshape(C, m, n, 1),
+        sum_trees=sum_o.reshape(C, n, 1),
+        alpha_vec=av_o,
+        leaf_sd=scal_o[:, 0:1],
+        wf_count=scal_o[:, 1],
+        wf_mean=wfm_o.reshape(C, n, 1),
+        wf_m2=wfm2_o.reshape(C, n, 1),
         batch_offset=(state.batch_offset + B) % m,
         iteration=state.iteration + B,
     )
-    return new_state, vi_o.reshape(p)
+    return new_state, vi_o
+
+
+# ---------------------------------------------------------------------------
+# Public wrapper: custom_vmap routes vmap-over-chains into ONE kernel
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_step_cached(cfg: BartConfig, pg: PgbartConfig, tuning: bool,
+                       rng_mode: str, lik: str, lik_const: float):
+    from jax import custom_batching
+
+    def single(key, state, X, Y_target, rules, lik_row):
+        lead = lambda a: a[None]
+        st1 = jax.tree.map(lead, state)
+        lr1 = None if lik_row is None else lik_row[None]
+        out_state, vi = _chains_impl(
+            key[None], st1, X, Y_target, rules, cfg, pg, lr1, tuning,
+            rng_mode, lik, lik_const)
+        return jax.tree.map(lambda a: a[0], out_state), vi[0]
+
+    step = custom_batching.custom_vmap(single)
+
+    @step.def_vmap
+    def _rule(axis_size, in_batched, key, state, X, Y_target, rules,
+              lik_row):
+        kb, sb_, xb, yb, rb, lb = in_batched
+        n, _p = X.shape if not xb else X.shape[1:]
+        data_shared = not (xb or yb or rb)
+        m = (state.forest.split_var.shape[-2])
+        if (not data_shared
+                or not _chains_vmem_ok(axis_size, cfg, pg, n, m)):
+            # fall back to a sequential per-chain scan (matches the
+            # pre-round-3 grid-serialized behavior)
+            def bc(x, b):
+                return x if b else jax.tree.map(
+                    lambda a: jnp.broadcast_to(
+                        a, (axis_size,) + jnp.shape(a)), x)
+            args = (bc(key, kb),
+                    jax.tree.map(lambda a, b: bc(a, b), state, sb_),
+                    bc(X, xb), bc(Y_target, yb), bc(rules, rb),
+                    None if lik_row is None else bc(lik_row, lb))
+            outs = jax.lax.map(lambda a: single(*a), args)
+            return outs, (jax.tree.map(lambda _: True, outs[0]), True)
+
+        def bcl(x, b):
+            return x if b else jnp.broadcast_to(x, (axis_size,) + jnp.shape(x))
+
+        keys_C = bcl(key, kb)
+        state_C = jax.tree.map(bcl, state, sb_)
+        lr_C = None if lik_row is None else bcl(lik_row, lb)
+        outs = _chains_impl(keys_C, state_C, X, Y_target, rules, cfg, pg,
+                            lr_C, tuning, rng_mode, lik, lik_const)
+        return outs, (jax.tree.map(lambda _: True, outs[0]), True)
+
+    return step
+
+
+def pgbart_step_fused(key, state, X, Y_target, rules, cfg: BartConfig,
+                      pg: PgbartConfig, gauss_w, tuning: bool,
+                      rng_mode: str = "batched", lik: str = "gauss",
+                      lik_const: float = 0.0):
+    """One full PGBART MCMC step as a single Pallas program (one chain).
+
+    Drop-in for ``pgbart.pgbart_step`` on the fused-likelihood path.
+    ``gauss_w`` is the per-row likelihood data (n, k): Gaussian precision
+    for ``lik="gauss"``, squared residuals (y - mu0)^2 for the ``het_*``
+    codes, ignored for ``"bernoulli"``.  ``jax.vmap`` over (key, state
+    [, gauss_w]) runs ALL chains in ONE kernel instance via the
+    custom_vmap rule above.  Returns (new_state, vi counts float32[p]).
+    """
+    step = _fused_step_cached(cfg, pg, bool(tuning), rng_mode, lik,
+                              float(lik_const))
+    return step(key, state, X, Y_target, rules, gauss_w)

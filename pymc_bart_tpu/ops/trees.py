@@ -87,7 +87,8 @@ def init_forest(m: int, n_nodes: int, n_outputs: int, init_leaf_value, n_rows: i
     init_leaf_value = jnp.asarray(init_leaf_value, jnp.float32)  # (k,)
     leaf = jnp.zeros((m, n_nodes, n_outputs), jnp.float32)
     leaf = leaf.at[:, 0, :].set(jnp.broadcast_to(init_leaf_value, (m, n_outputs)))
-    count = jnp.zeros((m, n_nodes), jnp.float32).at[:, 0].set(float(n_rows))
+    count = jnp.zeros((m, n_nodes), jnp.float32).at[:, 0].set(
+        jnp.asarray(n_rows, jnp.float32))  # may be traced (sharded psum)
     return Forest(
         split_var=jnp.full((m, n_nodes), -1, jnp.int32),
         split_val=jnp.zeros((m, n_nodes), jnp.float32),

@@ -11,6 +11,7 @@ vmapped leading axis of one jitted program, shardable over a device mesh
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -41,28 +42,115 @@ def _expr_leaf_names(x, acc=None):
     return acc
 
 
-def _gaussian_fused(model: Model, brv: BARTRV):
-    """If the model is exactly ``Normal(y | brv, sigma_expr)`` with this
-    BART variable as the (untransformed) mean, return the sigma expression
-    so the SMC weight can use the fused constant-free Gaussian
-    log-likelihood inside the Pallas growth kernel.  Otherwise None.
+def _match_getitem(expr, brv):
+    """If ``expr`` is ``brv[i]`` (tagged getitem), return the int index."""
+    if isinstance(expr, Op) and getattr(expr, "tag", None) is not None:
+        kind, key = expr.tag
+        if (kind == "getitem" and len(expr.args) == 1
+                and expr.args[0] is brv and isinstance(key, int)):
+            return key
+    return None
+
+
+def _depends_on_output(expr, brv, out):
+    """Does ``expr`` reference ``brv`` other than via ``brv[i]`` with
+    ``i != out``?  (Conservative: any non-getitem reference counts.)"""
+    if expr is brv:
+        return True
+    if isinstance(expr, Op):
+        gi = _match_getitem(expr, brv)
+        if gi is not None:
+            return gi == out
+        return any(_depends_on_output(a, brv, out)
+                   for a in expr.args if isinstance(a, Expr))
+    if isinstance(expr, Expr):
+        return getattr(expr, "name", None) == brv.name
+    return False
+
+
+def _match_scale_pattern(expr, brv, out):
+    """Match the scale-forest link: ``exp(brv[out])`` -> ("het_exp", 0) or
+    ``abs(brv[out]) (+ c)`` -> ("het_abs", c)."""
+    import jax.numpy as _jnp
+
+    if (isinstance(expr, Op) and expr.fn is _jnp.exp
+            and len(expr.args) == 1
+            and _match_getitem(expr.args[0], brv) == out):
+        return ("het_exp", 0.0)
+
+    def match_abs(e):
+        return (isinstance(e, Op) and e.fn is _jnp.abs and len(e.args) == 1
+                and _match_getitem(e.args[0], brv) == out)
+
+    if match_abs(expr):
+        return ("het_abs", 0.0)
+    if isinstance(expr, Op) and expr.fn is _jnp.add and len(expr.args) == 2:
+        a, b = expr.args
+        for x, y in ((a, b), (b, a)):
+            if match_abs(x) and isinstance(y, (int, float)) and y >= 0:
+                return ("het_abs", float(y))
+    return None
+
+
+def _fused_likelihood(model: Model, brv: BARTRV, out=None):
+    """Detect a closed-form SMC likelihood code for one sampler entry so
+    the whole-draw megakernel (ops/draw_pallas) covers it.
+
+    Returns None (generic ``loglik_fn`` path) or a dict:
+
+    * ``{"kind": "gauss", "sigma_expr": e}`` — y ~ Normal(F, sigma(env));
+      per-step row data = 1/sigma^2.  Covers the plain regression model
+      AND the mean-forest update of a separate-trees heteroscedastic
+      model (sigma may reference the OTHER outputs — their current
+      values ride in the evaluation env).
+    * ``{"kind": "bernoulli"}`` — y ~ Bernoulli(sigmoid(F)) (config 3).
+    * ``{"kind": "het_abs"|"het_exp", "mu_expr": e, "const": c}`` — the
+      scale-forest update of a separate-trees heteroscedastic model
+      (config 4): y ~ Normal(mu0(env), |F| + c) or Normal(mu0, exp(F)).
     """
-    if brv.config.n_outputs != 1 or len(model.bart_rvs) != 1:
+    import jax as _jax
+
+    if len(model.bart_rvs) != 1 or len(model.observed_rvs) != 1:
         return None
-    normals = [o for o in model.observed_rvs if o.dist is NormalDist]
-    if len(normals) != 1 or len(model.observed_rvs) != 1:
-        return None
-    orv = normals[0]
-    if len(orv.params) < 2 or orv.params[0] is not brv:
-        return None
-    sigma_expr = orv.params[1]
-    if brv.name in _expr_leaf_names(sigma_expr):
-        return None
+    orv = model.observed_rvs[0]
     obs = np.asarray(orv.observed, np.float64).reshape(-1)
-    if obs.shape[0] != brv.X.shape[0] or not np.allclose(
+    n = brv.X.shape[0]
+    if obs.shape[0] != n or not np.allclose(
             obs, np.asarray(brv.Y, np.float64).reshape(-1)):
         return None
-    return sigma_expr
+    k = brv.config.n_outputs
+
+    if orv.dist is BernoulliDist and k == 1 and out is None:
+        p_expr = orv.params[0] if orv.params else None
+        if (isinstance(p_expr, Op) and p_expr.fn is _jax.nn.sigmoid
+                and len(p_expr.args) == 1 and p_expr.args[0] is brv):
+            return {"kind": "bernoulli"}
+        return None
+
+    if orv.dist is not NormalDist or len(orv.params) < 2:
+        return None
+    mu_expr, sigma_expr = orv.params[0], orv.params[1]
+
+    if out is None:
+        if k != 1 or mu_expr is not brv:
+            return None
+        if brv.name in _expr_leaf_names(sigma_expr):
+            return None
+        return {"kind": "gauss", "sigma_expr": sigma_expr}
+
+    # separate-trees entry `out` of a multi-output BART
+    mu_idx = _match_getitem(mu_expr, brv)
+    if mu_idx is None:
+        return None
+    if out == mu_idx:
+        if _depends_on_output(sigma_expr, brv, out):
+            return None
+        return {"kind": "gauss", "sigma_expr": sigma_expr}
+    pat = _match_scale_pattern(sigma_expr, brv, out)
+    if pat is None:
+        return None
+    kind, c = pat
+    return {"kind": kind, "mu_expr": mu_expr, "const": c}
 
 
 def _jitter_duplicate_values(X: np.ndarray, rules: np.ndarray,
@@ -178,11 +266,15 @@ class CompiledModel:
             env[det.name] = evaluate(det.expr, env)
         return env, log_jac
 
-    def observed_logp(self, env):
+    def observed_logp(self, env, obs=None):
+        """Observed-data log-probability.  ``obs`` overrides the stored
+        observed arrays (used when rows are sharded over a mesh axis and
+        the local shard's rows are passed through shard_map)."""
         lp = jnp.zeros(())
-        for orv in self.model.observed_rvs:
+        for i, orv in enumerate(self.model.observed_rvs):
             params = tuple(evaluate(p, env) for p in orv.params)
-            value = jnp.asarray(orv.observed, jnp.float32)
+            value = (obs[i] if obs is not None
+                     else jnp.asarray(orv.observed, jnp.float32))
             lp = lp + jnp.sum(orv.dist.logp(value, *params))
         return lp
 
@@ -222,6 +314,48 @@ class CompiledModel:
             u = np.asarray(rv.dist.transform.inverse(jnp.asarray(sp, jnp.float32)))
             pieces.append(np.ravel(u) if u.ndim else u[None])
         return np.concatenate(pieces).astype(np.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _sum_grad_over(theta, axis_name):
+    """Identity on the value; the BACKWARD psums the cotangent over
+    ``axis_name``.  This is the correct gradient plumbing for a
+    REPLICATED parameter feeding shard-local terms that are later
+    psum-reduced: d(global sum)/d(theta) = psum(d(local term)/d(theta)),
+    replicated across shards."""
+    return theta
+
+
+def _sgo_fwd(theta, axis_name):
+    return theta, None
+
+
+def _sgo_bwd(axis_name, _res, g):
+    return (jax.lax.psum(g, axis_name),)
+
+
+_sum_grad_over.defvjp(_sgo_fwd, _sgo_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _sum_over(x, axis_name):
+    """psum on the value with an IDENTITY backward.  A plain psum's
+    transpose is another psum, which n-folds the cotangent and leaves
+    per-shard gradients unreplicated — under NUTS that desynchronizes
+    the per-shard trajectories (different while-loop trip counts ->
+    mismatched collective counts -> rendezvous deadlock)."""
+    return jax.lax.psum(x, axis_name)
+
+
+def _so_fwd(x, axis_name):
+    return jax.lax.psum(x, axis_name), None
+
+
+def _so_bwd(axis_name, _res, g):
+    return (g,)
+
+
+_sum_over.defvjp(_so_fwd, _so_bwd)
 
 
 class PGBART:
@@ -282,6 +416,7 @@ def sample(
     num_particles: int = 10,
     batch: Tuple[float, float] = (0.1, 0.1),
     num_refinements: int = 5,
+    split_prior_decay: float = 1.0,
     store_trees: bool = True,
     algorithm: str = "nuts",
     max_leapfrog: int = 32,
@@ -294,6 +429,7 @@ def sample(
     profile_dir: Optional[str] = None,
     debug_nans: bool = False,
     jitter_duplicates: bool = True,
+    timings: Optional[Dict[str, Any]] = None,
 ) -> InferenceData:
     """Run the compound PGBART(+HMC) sampler and return InferenceData.
 
@@ -305,7 +441,13 @@ def sample(
     ``mesh``: optional ``jax.sharding.Mesh`` with a ``"chains"`` axis; the
     vmapped chain dimension of the whole sampling program is sharded over
     it (chain parallelism over ICI/DCN instead of PyMC's process forking,
-    SURVEY 2.4).
+    SURVEY 2.4).  A ``"data"`` axis additionally shards the n-row space
+    (large-n configs; fused likelihoods only).
+
+    ``timings``: optional dict filled with wall-clock instrumentation —
+    ``tune_seconds``, ``draw_chunk_seconds`` (list, first entry includes
+    the draw-program compile), ``draw_chunk_sizes`` — so benchmarks can
+    report steady-state end-to-end draw rates (BASELINE.md protocol).
     """
     model = Model.get_context(model)
     compiled = CompiledModel(model)
@@ -318,7 +460,8 @@ def sample(
     for brv in compiled.bart_rvs:
         pg_cfgs[brv.name] = PgbartConfig(
             num_particles=num_particles, batch=batch,
-            num_refinements=num_refinements)
+            num_refinements=num_refinements,
+            split_prior_decay=split_prior_decay)
     if step is not None:
         steps = step if isinstance(step, (list, tuple)) else [step]
         for st in steps:
@@ -341,6 +484,8 @@ def sample(
         n, k = X.shape[0], brv.config.n_outputs
         Yt = jnp.asarray(_bart_growth_target(model, brv), jnp.float32)
         rules = jnp.asarray(brv.rules_array())
+        obs_y = (jnp.asarray(model.observed_rvs[0].observed, jnp.float32
+                             ).reshape(-1) if model.observed_rvs else None)
         if brv.config.separate_trees and k > 1:
             cfg1 = _dc.replace(brv.config, n_outputs=1, separate_trees=False)
             for j in range(k):
@@ -349,15 +494,16 @@ def sample(
                          Yt=Yt[:, j:j + 1], rules=rules, cfg=cfg1,
                          pg=pg_cfgs[brv.name],
                          loglik=_make_loglik_output(compiled, brv.name, j),
-                         split_prior=brv.split_prior, gauss_sigma=None)
+                         split_prior=brv.split_prior, obs_y=obs_y,
+                         fused=_fused_likelihood(model, brv, out=j))
                 )
         else:
             bart_static.append(
                 dict(name=brv.name, out=None, k_group=k, X=X, X_raw=X_raw,
                      Yt=Yt, rules=rules, cfg=brv.config, pg=pg_cfgs[brv.name],
                      loglik=_make_loglik(compiled, brv.name),
-                     split_prior=brv.split_prior,
-                     gauss_sigma=_gaussian_fused(model, brv))
+                     split_prior=brv.split_prior, obs_y=obs_y,
+                     fused=_fused_likelihood(model, brv))
             )
 
     # fast-path telemetry: on TPU, say WHY a forest leaves the megakernel
@@ -368,10 +514,11 @@ def sample(
         from ..ops.draw_pallas import fused_draw_unsupported_reason
 
         for bs in bart_static:
+            kind = bs["fused"]["kind"] if bs["fused"] is not None else "custom"
             gw_probe = (jnp.ones((bs["X"].shape[0], bs["cfg"].n_outputs))
-                        if bs["gauss_sigma"] is not None else None)
+                        if kind != "bernoulli" else None)
             reason = fused_draw_unsupported_reason(
-                bs["cfg"], bs["pg"], bs["X"], gw_probe)
+                bs["cfg"], bs["pg"], bs["X"], gw_probe, lik=kind)
             if reason is not None:
                 tag = bs["name"] + (
                     f"[{bs['out']}]" if bs["out"] is not None else "")
@@ -383,12 +530,49 @@ def sample(
     theta0 = compiled.initial_theta()
     n_bart = len(bart_static)
 
-    def init_chain(key):
+    # -- optional row ("data") sharding (SURVEY 2.4 data parallelism) ------
+    # A mesh with a "data" axis partitions the n-row space: X / targets /
+    # observed / per-row sampler state hold local rows per device while
+    # tree structures stay replicated; sufficient statistics, likelihood
+    # sums and the split-value winner ride psum/pmax over the axis
+    # (exactness proof: tests/test_data_sharding.py).
+    n_data_shards = 1
+    if mesh is not None and "data" in mesh.axis_names:
+        n_data_shards = mesh.shape["data"]
+    data_axis = "data" if n_data_shards > 1 else None
+    if data_axis is not None:
+        for bs in bart_static:
+            if bs["fused"] is None:
+                raise ValueError(
+                    "row ('data') sharding requires a fused likelihood "
+                    "(Normal / Bernoulli / heteroscedastic patterns); this "
+                    "model's likelihood is generic")
+            if bs["cfg"].response != "constant":
+                raise ValueError(
+                    "row sharding supports response='constant' only")
+        if model.deterministics:
+            raise ValueError(
+                "row sharding does not support Deterministic tracking")
+
+    # row-space arrays ride as explicit (shard_map-able) arguments
+    sd_full = dict(
+        X=tuple(bs["X"] for bs in bart_static),
+        Yt=tuple(bs["Yt"] for bs in bart_static),
+        obs_y=tuple(
+            (bs["obs_y"] if bs["obs_y"] is not None
+             else jnp.zeros((bs["X"].shape[0],), jnp.float32))
+            for bs in bart_static),
+        obs=tuple(jnp.asarray(orv.observed, jnp.float32)
+                  for orv in model.observed_rvs),
+    )
+
+    def init_chain(key, sd):
         bart_states = tuple(
-            pgbart.init_state(bs["X"], bs["Yt"], bs["cfg"],
+            pgbart.init_state(sd["X"][i], sd["Yt"][i], bs["cfg"],
                               jnp.asarray(bs["split_prior"], jnp.float32)
-                              if bs["split_prior"].size else None)
-            for bs in bart_static
+                              if bs["split_prior"].size else None,
+                              data_axis=data_axis)
+            for i, bs in enumerate(bart_static)
         )
         jitter = jax.random.uniform(key, (compiled.theta_size,),
                                     minval=-0.5, maxval=0.5)
@@ -408,10 +592,22 @@ def sample(
                 for nm, v in cols.items()}
 
     def hmc_logp(theta, params):
-        (bart_vals,) = params
-        return compiled.logdensity(theta, bart_vals)
+        (bart_vals, obs_t) = params
+        if data_axis is None:
+            env, log_jac = compiled.build_env(theta, bart_vals)
+            return (compiled.prior_logp(env)
+                    + compiled.observed_logp(env, obs=obs_t) + log_jac)
+        # row-sharded: value = prior + psum(local observed); gradient =
+        # prior' + psum(local observed') — the custom-vjp pair keeps BOTH
+        # replicated across the data axis so every shard's NUTS
+        # trajectory is bit-identical (see _sum_over/_sum_grad_over)
+        env_p, log_jac = compiled.build_env(theta, bart_vals)
+        theta_o = _sum_grad_over(theta, data_axis)
+        env_o, _ = compiled.build_env(theta_o, bart_vals)
+        olp = _sum_over(compiled.observed_logp(env_o, obs=obs_t), data_axis)
+        return compiled.prior_logp(env_p) + olp + log_jac
 
-    def one_step(carry, key, tuning: bool):
+    def one_step(carry, key, sd, tuning: bool):
         bart_states, h = carry
         keys = jax.random.split(key, n_bart + 1)
         vis = []
@@ -420,21 +616,36 @@ def sample(
             internal_now = bart_internal_values(bart_states)
             lik_params = (h.theta, internal_now)
             gauss_w = None
-            if bs["gauss_sigma"] is not None:
-                env, _ = compiled.build_env(h.theta, internal_now)
-                sigma = jnp.asarray(evaluate(bs["gauss_sigma"], env),
-                                    jnp.float32)
-                n_i = bs["X"].shape[0]
-                k_i = bs["cfg"].n_outputs
-                gauss_w = jnp.broadcast_to(
-                    (1.0 / jnp.maximum(sigma, 1e-12) ** 2).reshape(-1, 1)
-                    if jnp.ndim(sigma) > 0 else
-                    jnp.full((1, 1), 1.0 / jnp.maximum(sigma, 1e-12) ** 2),
-                    (n_i, k_i)).astype(jnp.float32)
+            lik = "gauss"
+            lik_const = 0.0
+            fused = bs["fused"]
+            n_i = sd["X"][i].shape[0]  # local rows when sharded
+            k_i = bs["cfg"].n_outputs
+            if fused is not None:
+                lik = fused["kind"]
+                lik_const = fused.get("const", 0.0)
+                if lik == "gauss":
+                    env, _ = compiled.build_env(h.theta, internal_now)
+                    sigma = jnp.asarray(evaluate(fused["sigma_expr"], env),
+                                        jnp.float32)
+                    gauss_w = jnp.broadcast_to(
+                        (1.0 / jnp.maximum(sigma, 1e-12) ** 2).reshape(-1, 1)
+                        if jnp.ndim(sigma) > 0 else
+                        jnp.full((1, 1), 1.0 / jnp.maximum(sigma, 1e-12) ** 2),
+                        (n_i, k_i)).astype(jnp.float32)
+                elif lik in ("het_abs", "het_exp"):
+                    # scale-forest update: row data = (y - mu0)^2 with the
+                    # mean forest's CURRENT values from the env
+                    env, _ = compiled.build_env(h.theta, internal_now)
+                    mu0 = jnp.asarray(evaluate(fused["mu_expr"], env),
+                                      jnp.float32).reshape(-1)
+                    gauss_w = ((sd["obs_y"][i] - mu0) ** 2).reshape(n_i, 1)
+                # bernoulli: labels ride Yt; no row data needed
             new_state, vi = pgbart.pgbart_step(
-                keys[i], bart_states[i], bs["X"], bs["Yt"], bs["rules"],
-                bs["cfg"], bs["pg"], bs["loglik"], lik_params, tuning,
-                gauss_w=gauss_w,
+                keys[i], bart_states[i], sd["X"][i], sd["Yt"][i],
+                bs["rules"], bs["cfg"], bs["pg"], bs["loglik"], lik_params,
+                tuning, gauss_w=gauss_w, lik=lik, lik_const=lik_const,
+                data_axis=data_axis,
             )
             bart_states[i] = new_state
             vis.append(vi)
@@ -444,13 +655,13 @@ def sample(
             bart_vals = bart_internal_values(bart_states)
             if algorithm == "nuts":
                 h, stats = nuts.nuts_step(
-                    keys[-1], h, hmc_logp, (bart_vals,), tuning=tuning,
-                    full_stats=True,
+                    keys[-1], h, hmc_logp, (bart_vals, sd["obs"]),
+                    tuning=tuning, full_stats=True,
                 )
             else:
                 h, accept = hmc.hmc_step(
-                    keys[-1], h, hmc_logp, (bart_vals,), tuning=tuning,
-                    max_leapfrog=max_leapfrog,
+                    keys[-1], h, hmc_logp, (bart_vals, sd["obs"]),
+                    tuning=tuning, max_leapfrog=max_leapfrog,
                 )
                 stats = {"accept": accept,
                          "diverging": jnp.zeros((), bool),
@@ -484,12 +695,12 @@ def sample(
                 out[det.name] = env[det.name]
         return out
 
-    def tune_body(carry, k):
-        carry, (vis, stats) = one_step(carry, k, True)
+    def tune_body(sd, carry, k):
+        carry, (vis, stats) = one_step(carry, k, sd, True)
         return carry, stats["accept"]
 
-    def draw_body(carry, k):
-        carry, (vis, stats) = one_step(carry, k, False)
+    def draw_body(sd, carry, k):
+        carry, (vis, stats) = one_step(carry, k, sd, False)
         bart_states, h = carry
         values = collect(carry)
         # one inclusion row per BART RV: a separate-trees group reports
@@ -509,48 +720,112 @@ def sample(
             )
         return carry, (values, vi_pad, stats, snap)
 
-    def tune_chunk(carry, keys):
-        return jax.lax.scan(tune_body, carry, keys)[0]
+    def tune_chunk(carry, keys, sd):
+        return jax.lax.scan(functools.partial(tune_body, sd), carry, keys)[0]
 
-    def draw_chunk(carry, keys):
-        return jax.lax.scan(draw_body, carry, keys)
+    def draw_chunk(carry, keys, sd):
+        return jax.lax.scan(functools.partial(draw_body, sd), carry, keys)
+
+    # chains ride a vmapped leading axis; the row-space arrays (sd) are
+    # shared across chains (in_axes=None)
+    v_init = jax.vmap(init_chain, in_axes=(0, None))
+    v_tune = jax.vmap(tune_chunk, in_axes=(0, 0, None))
+    v_draw = jax.vmap(draw_chunk, in_axes=(0, 0, None))
 
     if mesh is None:
-        jit_init = jax.jit(jax.vmap(init_chain))
-        jit_tune = jax.jit(jax.vmap(tune_chunk))
-        jit_draw = jax.jit(jax.vmap(draw_chunk))
+        jit_init = jax.jit(v_init)
+        jit_tune = jax.jit(v_tune)
+        jit_draw = jax.jit(v_draw)
     else:
         # Chain parallelism over the device mesh via shard_map: each device
         # runs its local chains' full program (vmap inside); no collectives
-        # on the hot path (SURVEY 2.4).  shard_map (rather than GSPMD
+        # on the chain axis (SURVEY 2.4).  shard_map (rather than GSPMD
         # propagation) keeps the fused Pallas kernels strictly per-device.
+        # With a "data" axis, row-space leaves additionally shard their
+        # row dimension and the SMC reductions psum over it.
         n_mesh_chains = mesh.shape["chains"]
         if chains % n_mesh_chains != 0:
             raise ValueError(
                 f"chains={chains} must be a multiple of the mesh 'chains' "
                 f"axis size {n_mesh_chains}")
         P = jax.sharding.PartitionSpec
+        Pch = P("chains")
 
-        def sharded(f):
+        sd_spec = dict(
+            X=tuple(P(data_axis) for _ in bart_static),
+            Yt=tuple(P(data_axis) for _ in bart_static),
+            obs_y=tuple(P(data_axis) for _ in bart_static),
+            obs=tuple(P(data_axis) for _ in model.observed_rvs),
+        )
+
+        if data_axis is None:
+            carry_spec = None  # blanket chain specs suffice
+        else:
+            from ..ops.trees import Forest as _Forest
+
+            def _state_spec():
+                return pgbart.PgbartState(
+                    forest=_Forest(Pch, Pch, Pch, Pch, Pch, Pch),
+                    tree_pred=P("chains", None, "data"),
+                    sum_trees=P("chains", "data"),
+                    alpha_vec=Pch, leaf_sd=Pch, wf_count=Pch,
+                    wf_mean=P("chains", "data"),
+                    wf_m2=P("chains", "data"),
+                    batch_offset=Pch, iteration=Pch)
+
+            h_struct = jax.eval_shape(
+                lambda: hmc.init_state(jnp.zeros(compiled.theta_size)))
+            carry_spec = (tuple(_state_spec() for _ in bart_static),
+                          jax.tree.map(lambda _: Pch, h_struct))
+
+        def _value_specs():
+            specs = {}
+            for brv in compiled.bart_rvs:
+                specs[brv.name] = (P("chains", None, "data")
+                                   if len(brv.shape) == 1
+                                   else P("chains", None, None, "data"))
+            for rv in compiled.free_params:
+                specs[rv.name] = Pch
+            return specs
+
+        def sharded(f, in_specs=None, out_specs=None):
             cache = {}
 
             def wrapped(*args):
-                key_ = len(cache)  # single structure per callsite
                 if "fn" not in cache:
-                    in_specs = jax.tree.map(lambda _: P("chains"), args)
-                    out_shape = jax.eval_shape(f, *args)
-                    out_specs = jax.tree.map(lambda _: P("chains"), out_shape)
+                    ins = (jax.tree.map(lambda _: Pch, args[:-1])
+                           + (jax.tree.map(lambda _: P(), args[-1]),)
+                           if in_specs is None else in_specs)
+                    if out_specs is None:
+                        out_shape = jax.eval_shape(f, *args)
+                        outs = jax.tree.map(lambda _: Pch, out_shape)
+                    else:
+                        outs = out_specs
                     cache["fn"] = jax.jit(jax.shard_map(
-                        f, mesh=mesh, in_specs=in_specs,
-                        out_specs=out_specs, check_vma=False))
-                del key_
+                        f, mesh=mesh, in_specs=ins,
+                        out_specs=outs, check_vma=False))
                 return cache["fn"](*args)
 
             return wrapped
 
-        jit_init = sharded(jax.vmap(init_chain))
-        jit_tune = sharded(jax.vmap(tune_chunk))
-        jit_draw = sharded(jax.vmap(draw_chunk))
+        if data_axis is None:
+            jit_init = sharded(v_init)
+            jit_tune = sharded(v_tune)
+            jit_draw = sharded(v_draw)
+        else:
+            stats_spec = {k_: Pch for k_ in
+                          ("accept", "diverging", "tree_depth", "n_steps",
+                           "step_size", "energy")}
+            snap_spec = (tuple((Pch,) * 6 for _ in bart_static)
+                         if store_trees else None)
+            jit_init = sharded(v_init, in_specs=(Pch, sd_spec),
+                               out_specs=carry_spec)
+            jit_tune = sharded(v_tune, in_specs=(carry_spec, Pch, sd_spec),
+                               out_specs=carry_spec)
+            jit_draw = sharded(
+                v_draw, in_specs=(carry_spec, Pch, sd_spec),
+                out_specs=(carry_spec,
+                           (_value_specs(), Pch, stats_spec, snap_spec)))
 
     chain_keys = jax.random.split(jax.random.fold_in(root_key, 0), chains)
     if mesh is not None:
@@ -574,7 +849,7 @@ def sample(
     # -- resume / init -------------------------------------------------------
     from ..utils import checkpoint as ckpt_mod
 
-    carry = jit_init(chain_keys)
+    carry = jit_init(chain_keys, sd_full)
     start_tune, start_draw = 0, 0
     acc: List = []
     if checkpoint_dir is not None and resume:
@@ -595,19 +870,32 @@ def sample(
 
     def maybe_checkpoint(carry, step):
         if checkpoint_dir is not None:
-            ckpt_mod.save_checkpoint(checkpoint_dir, jax.device_get(carry),
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                host_carry = multihost_utils.process_allgather(carry,
+                                                               tiled=True)
+            else:
+                host_carry = jax.device_get(carry)
+            ckpt_mod.save_checkpoint(checkpoint_dir, host_carry,
                                      meta={"tune": tune, "draws": draws},
                                      step=step)
 
     # -- tuning --------------------------------------------------------------
+    tune_t0 = time.perf_counter()
     t = start_tune
     while t < tune:
         c = min(chunk_size, tune - t)
-        carry = jit_tune(carry, chunk_keys(0, t, c))
+        carry = jit_tune(carry, chunk_keys(0, t, c), sd_full)
         t += c
         maybe_checkpoint(carry, t)
         if progressbar:
             print(f"tune {t}/{tune}", flush=True)
+    if timings is not None:
+        jax.block_until_ready(jax.tree.leaves(carry)[0])
+        timings["tune_seconds"] = time.perf_counter() - tune_t0
+        timings["draw_chunk_seconds"] = []
+        timings["draw_chunk_sizes"] = []
     bart_states_b, h_b = carry
     h_b = hmc.finalize_adaptation(h_b)
     carry = (bart_states_b, h_b)
@@ -625,8 +913,23 @@ def sample(
     try:
         while t < draws:
             c = min(chunk_size, draws - t)
-            carry, outs = jit_draw(carry, chunk_keys(1, t, c))
-            host_outs = jax.device_get(outs)
+            chunk_t0 = time.perf_counter()
+            carry, outs = jit_draw(carry, chunk_keys(1, t, c), sd_full)
+            if jax.process_count() > 1:
+                # multi-host: chains live on remote hosts' devices; gather
+                # every host's shards over DCN so each process returns the
+                # FULL posterior (replaces the reference's Manager-list IPC)
+                from jax.experimental import multihost_utils
+
+                host_outs = jax.tree.map(
+                    np.asarray,
+                    multihost_utils.process_allgather(outs, tiled=True))
+            else:
+                host_outs = jax.device_get(outs)
+            if timings is not None:
+                timings["draw_chunk_seconds"].append(
+                    time.perf_counter() - chunk_t0)
+                timings["draw_chunk_sizes"].append(c)
             acc.append(host_outs)
             t += c
             maybe_checkpoint(carry, tune + t)

@@ -66,18 +66,28 @@ class PgbartState:
     iteration: jax.Array    # int32[] Gibbs iterations done (for adaptation gate)
 
 
-def init_state(X, Y_target, cfg: BartConfig, split_prior=None) -> PgbartState:
+def init_state(X, Y_target, cfg: BartConfig, split_prior=None,
+               data_axis=None) -> PgbartState:
     """Initial all-root-leaf state.
 
     Each tree starts as a single leaf predicting mean(Y)/m so the initial
     sum of trees equals Y.mean() (reference bart.py:146 initval and
     SURVEY 2.3 step 1).  leaf_sd starts at std(Y)/sqrt(m).
+
+    ``data_axis``: with rows sharded over a mesh axis, the mean/std ride
+    psums so every shard initializes the SAME (replicated) tree state.
     """
     n, _p = X.shape
     k = cfg.n_outputs
     Y_target = jnp.asarray(Y_target, jnp.float32).reshape(n, k)
-    y_mean = Y_target.mean(axis=0)  # (k,)
-    forest = init_forest(cfg.m, cfg.n_nodes, k, y_mean / cfg.m, n)
+    if data_axis is None:
+        y_mean = Y_target.mean(axis=0)  # (k,)
+        n_root = n
+    else:
+        n_glob = jax.lax.psum(jnp.float32(n), data_axis)
+        y_mean = jax.lax.psum(Y_target.sum(axis=0), data_axis) / n_glob
+        n_root = n_glob  # node counts are replicated state: global rows
+    forest = init_forest(cfg.m, cfg.n_nodes, k, y_mean / cfg.m, n_root)
     tree_pred = jnp.broadcast_to((y_mean / cfg.m)[None, None, :], (cfg.m, n, k)).astype(
         jnp.float32
     )
@@ -85,7 +95,13 @@ def init_state(X, Y_target, cfg: BartConfig, split_prior=None) -> PgbartState:
         alpha_vec = jnp.ones((X.shape[1],), jnp.float32)
     else:
         alpha_vec = jnp.asarray(split_prior, jnp.float32)
-    leaf_sd = Y_target.std(axis=0) / jnp.sqrt(float(cfg.m))
+    if data_axis is None:
+        leaf_sd = Y_target.std(axis=0) / jnp.sqrt(float(cfg.m))
+    else:
+        n_glob = jax.lax.psum(jnp.float32(n), data_axis)
+        var = jax.lax.psum(((Y_target - y_mean[None, :]) ** 2).sum(axis=0),
+                           data_axis) / n_glob
+        leaf_sd = jnp.sqrt(var) / jnp.sqrt(float(cfg.m))
     leaf_sd = jnp.maximum(leaf_sd, 1e-6)
     return PgbartState(
         forest=forest,
@@ -284,7 +300,8 @@ def _pallas_enabled(cfg: BartConfig, X) -> bool:
 def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
                      X, rules, cfg: BartConfig, pg: PgbartConfig,
                      loglik_fn: Callable, lik_params, gauss_w=None,
-                     data_axis=None):
+                     data_axis=None, lik: str = "gauss",
+                     lik_const: float = 0.0):
     """Run the conditional SMC for a single tree; return (new tree, pred).
 
     ``data_axis``: mesh axis name when rows are sharded (X/resid/gauss_w
@@ -292,6 +309,11 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
     the split-value winner ride psum/pmax over the axis; with a custom
     ``loglik_fn`` the function itself must psum its row sum.  Pallas
     paths are disabled (per-device kernels see only local rows).
+
+    ``lik``: fused likelihood code (see ops/draw_pallas module docstring).
+    For the non-Gaussian codes this XLA path evaluates the same closed
+    form and consumes the same RNG sequence as the megakernel, so the
+    two are bit-comparable under ``rng_mode="reference"``.
     """
     P = pg.num_particles
     S = cfg.n_nodes
@@ -328,11 +350,29 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
     def particle_pred(sv_p, lf_p, sp_p, li_p):
         return leaf_values_at(sv_p, lf_p, sp_p, X, li_p)  # (n, k)
 
-    use_pallas = _pallas_enabled(cfg, X) and data_axis is None
+    use_pallas = (_pallas_enabled(cfg, X) and data_axis is None
+                  and lik == "gauss")
     fused_gauss = use_pallas and (gauss_w is not None)
     sharded_gauss = data_axis is not None and gauss_w is not None
+    # non-Gaussian closed-form codes (kernel-comparable; see draw_pallas)
+    fused_other = lik in ("bernoulli", "het_abs", "het_exp")
 
     def eval_ll(pred_all):
+        if fused_other:
+            F = sum_noi[None] + pred_all
+            if lik == "bernoulli":
+                y_full = resid + sum_noi  # the 0/1 labels
+                sp = jnp.maximum(F, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(F)))
+                ll_rows = y_full[None] * F - sp
+            elif lik == "het_abs":
+                sg = jnp.abs(F) + lik_const
+                ll_rows = -0.5 * gauss_w[None] / (sg * sg) - jnp.log(sg)
+            else:  # het_exp
+                ll_rows = -0.5 * gauss_w[None] * jnp.exp(-2.0 * F) - F
+            ll_p = jnp.sum(ll_rows, axis=(1, 2))
+            if data_axis is not None:
+                ll_p = jax.lax.psum(ll_p, data_axis)
+            return ll_p
         if fused_gauss:  # constant-free Gaussian ll, matches the kernel's
             diff = resid[None] - pred_all
             return -0.5 * jnp.sum(gauss_w[None] * diff * diff, axis=(1, 2))
@@ -467,6 +507,65 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
                           jnp.zeros((S, k), jnp.float32))
         return new_tree, pred_wT.T
 
+    if fused_other and k == 1:
+        # kernel-aligned winner selection + Metropolis refinement for the
+        # non-Gaussian fused codes: consumes the same RNG blocks in the
+        # same order as the megakernel (inverse-CDF winner, pre-drawn
+        # refinement normals/uniforms), so the two paths are
+        # bit-comparable under rng_mode="reference".
+        key, k_eps, k_acc = jax.random.split(key, 3)
+        R = max(pg.num_refinements, 1)
+        if pg.num_refinements > 0:
+            eps_r = jax.random.normal(k_eps, (R, k, S))
+            u_acc = jax.random.uniform(k_acc, (R,))
+        else:
+            eps_r = jnp.zeros((R, k, S), jnp.float32)
+            u_acc = jnp.ones((R,), jnp.float32)
+        u_sel = jax.random.uniform(k_sel, ())
+        mxw = jnp.max(log_w)
+        e = jnp.exp(log_w - mxw)
+        cdf = jnp.cumsum(e)
+        u = u_sel * cdf[-1]
+        widx = jnp.clip(jnp.sum((cdf < u).astype(jnp.int32)), 0, P - 1)
+        sv_w, sl_w, st_w, lf_w, ct_w, sp_w = (
+            a[widx] for a in (sv, sl, st, lf, ct, sp)
+        )
+        li_w = leaf_idx[widx]
+        pred_w = pred[widx]
+        leaf_mask = ((sv_w < 0) & (ct_w > 0))[:, None].astype(jnp.float32)
+        leaf_rsum = jax.ops.segment_sum(resid, li_w, num_segments=S)
+        if data_axis is not None:
+            leaf_rsum = jax.lax.psum(leaf_rsum, data_axis)
+        prior_center = leaf_rsum / jnp.maximum(ct_w, 1.0)[:, None] / cfg.m
+        hiv = 0.5 / (leaf_sd * leaf_sd)
+
+        def ll_one(pred_x):
+            return eval_ll(pred_x[None])[0]
+
+        def lp_of(lf_x):
+            dev = lf_x - prior_center
+            return -jnp.sum(hiv[None, :] * leaf_mask * dev * dev)
+
+        ll_c0 = ll_one(pred_w) + lp_of(lf_w)
+        eps_scale = 0.3 * leaf_sd
+
+        def refine_body(r_i, carry):
+            lf_c, pred_c, ll_c = carry
+            lf_p = lf_c + eps_r[r_i].T * eps_scale[None, :] * leaf_mask
+            pred_p = lf_p[li_w]
+            ll_p = ll_one(pred_p) + lp_of(lf_p)
+            accept = jnp.log(u_acc[r_i]) < (ll_p - ll_c)
+            lf_c = jnp.where(accept, lf_p, lf_c)
+            pred_c = jnp.where(accept, pred_p, pred_c)
+            ll_c = jnp.where(accept, ll_p, ll_c)
+            return (lf_c, pred_c, ll_c)
+
+        lf_w, pred_w, _ = jax.lax.fori_loop(
+            0, R, refine_body, (lf_w, pred_w, ll_c0))
+        new_tree = Forest(sv_w, sl_w, st_w, lf_w, ct_w,
+                          jnp.zeros((S, k), jnp.float32))
+        return new_tree, pred_w
+
     if use_pallas:
         # restore sampler layout for the XLA winner/refinement path
         lf = lf.transpose(0, 2, 1)
@@ -545,13 +644,14 @@ def split_var_counts(forest: Forest, p: int):
     return onehot.astype(jnp.float32).sum(axis=0)
 
 
-def _megakernel_enabled(cfg: BartConfig, pg: PgbartConfig, X, gauss_w) -> bool:
+def _megakernel_enabled(cfg: BartConfig, pg: PgbartConfig, X, gauss_w,
+                        lik: str = "gauss") -> bool:
     """Use the whole-draw megakernel (ops/draw_pallas) when it covers this
-    config: fused-Gaussian likelihood, constant response, single output.
+    config: fused likelihood code, constant response, single output.
     Override with PYMC_BART_TPU_MEGAKERNEL=0/1."""
     from ..ops.draw_pallas import fused_draw_supported
 
-    if not fused_draw_supported(cfg, pg, X, gauss_w):
+    if not fused_draw_supported(cfg, pg, X, gauss_w, lik):
         return False
     env = _os.environ.get("PYMC_BART_TPU_MEGAKERNEL")
     if env is not None:
@@ -562,10 +662,11 @@ def _megakernel_enabled(cfg: BartConfig, pg: PgbartConfig, X, gauss_w) -> bool:
 
 
 @partial(jax.jit, static_argnames=("cfg", "pg", "loglik_fn", "tuning",
-                                   "data_axis"))
+                                   "data_axis", "lik", "lik_const"))
 def pgbart_step(key, state: PgbartState, X, Y_target, rules,
                 cfg: BartConfig, pg: PgbartConfig, loglik_fn: Callable,
-                lik_params, tuning: bool, gauss_w=None, data_axis=None):
+                lik_params, tuning: bool, gauss_w=None, data_axis=None,
+                lik: str = "gauss", lik_const: float = 0.0):
     """One PGBART MCMC step (one chain): update a rotating batch of trees.
 
     ``loglik_fn(f, lik_params) -> scalar`` is the model log-likelihood of a
@@ -581,7 +682,7 @@ def pgbart_step(key, state: PgbartState, X, Y_target, rules,
 
     Returns (new_state, variable_inclusion_counts float32[p]).
     """
-    if data_axis is None and _megakernel_enabled(cfg, pg, X, gauss_w):
+    if data_axis is None and _megakernel_enabled(cfg, pg, X, gauss_w, lik):
         from ..ops.draw_pallas import pgbart_step_fused
 
         # measured on v5e: "batched" XLA RNG overlaps with the kernel
@@ -590,7 +691,8 @@ def pgbart_step(key, state: PgbartState, X, Y_target, rules,
         # more on the VPU than the prefetched block); "kernel" remains
         # available for very large n where the 2.4 MB/draw block matters
         return pgbart_step_fused(key, state, X, Y_target, rules, cfg, pg,
-                                 gauss_w, tuning, rng_mode="batched")
+                                 gauss_w, tuning, rng_mode="batched",
+                                 lik=lik, lik_const=lik_const)
     m = cfg.m
     B = pg.batch_size(m, tuning)
     n, p = X.shape
@@ -607,7 +709,7 @@ def pgbart_step(key, state: PgbartState, X, Y_target, rules,
         new_tree, pred = _update_one_tree(
             k_tree, tree, sum_noi, resid, alpha_vec, leaf_sd,
             X, rules, cfg, pg, loglik_fn, lik_params, gauss_w=gauss_w,
-            data_axis=data_axis,
+            data_axis=data_axis, lik=lik, lik_const=lik_const,
         )
         forest = Forest(
             forest.split_var.at[jt].set(new_tree.split_var),
@@ -634,7 +736,7 @@ def pgbart_step(key, state: PgbartState, X, Y_target, rules,
                 (tsv[:, None] == jnp.arange(p, dtype=jnp.int32)[None, :])
                 .astype(jnp.float32).sum(axis=0)
             )
-            alpha_vec = alpha_vec + tcounts
+            alpha_vec = alpha_vec * pg.split_prior_decay + tcounts
             # running leaf variance -> leaf_sd (reference CHANGELOG.md:380)
             wf_count = wf_count + 1.0
             delta = pred - wf_mean

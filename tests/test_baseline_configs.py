@@ -131,19 +131,21 @@ def test_highdim_variable_selection():
         sigma = pmb.HalfNormal("sigma", 1.0)
         pmb.Normal("y", mu, sigma, observed=Y)
         idata = pmb.sample(tune=300, draws=100, chains=2, random_seed=4,
-                           num_particles=40, batch=(0.5, 0.5))
+                           num_particles=40, batch=(0.5, 0.5),
+                           split_prior_decay=0.999)
 
-    # With Dirichlet-style split-prior adaptation (full per-split counts,
-    # sampler/pgbart.py) the three signal covariates are recovered as the
-    # TOP-3 by inclusion at p=1000.  Measured combined inclusion mass on
-    # {0,1,2}: 0.398 at tune=300, 0.466 at tune=500 — the remainder is
-    # deep-node splits on noise columns that a flat likelihood cannot
-    # penalize, so the bar is set at 0.3 for this budget.
+    # Dirichlet-style split-prior adaptation recovers the three signal
+    # covariates as the TOP-3 by inclusion at p=1000.  The linear
+    # reference accumulation plateaus at ~0.4 combined mass at this
+    # budget (the p=1000 uniform initial mass dilutes the counts);
+    # exponential forgetting (split_prior_decay=0.999) washes the base
+    # out and reaches 0.69 measured — the bar matches the reference-
+    # class > 50% oracle (reference tests/test_bart.py:44-64).
     vi = idata["sample_stats"]["variable_inclusion"].values.sum(axis=(0, 1))[0]
     order = np.argsort(vi)[::-1]
     assert set(order[:3]) == {0, 1, 2}, (order[:10].tolist(), vi[:5])
     mass = vi[:3].sum() / vi.sum()
-    assert mass > 0.3, mass
+    assert mass > 0.5, mass
     # interpretability machinery runs at p=1000 (restricted var set)
     pmb.plot_pdp(mu, X=X, Y=Y, var_idx=[0, 1, 2], samples=10)
 
