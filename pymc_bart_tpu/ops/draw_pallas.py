@@ -98,6 +98,7 @@ def _draw_kernel(
     *, C: int, B: int, P: int, D: int, S: int, n: int, p: int, m: int,
     R: int, alpha: float, beta: float, tuning: bool, gen_gumbel: bool,
     lik: str, lik_const: float, vi_in_kernel: bool, spd: float,
+    all_cont: bool = False, x_nan: bool = True,
 ):
     """One grid step = one tree's conditional SMC for all C chains.
 
@@ -105,6 +106,14 @@ def _draw_kernel(
     every grow-loop instruction covers all chains and particles.  The
     cold post-SMC section (winner selection, refinement, commit,
     adaptation) is a static per-chain loop.
+
+    Static specializations (the caller sets them from the CONCRETE host
+    arrays, so they cannot be wrong for the data): ``all_cont`` — every
+    column uses the continuous rule, so the one-hot/subset routing and
+    the whole split_set machinery drop out; ``x_nan`` — X contains NaNs,
+    else all NaN-tracking (bit-pattern blends, NaN-safe gathers) drops
+    out.  Together they remove ~1/3 of the per-node vector ops on the
+    common clean-continuous configuration.
     """
     CP = C * P
     bi = pl.program_id(0)
@@ -127,9 +136,12 @@ def _draw_kernel(
 
     # ---- shared blocks ----
     xtraw = xt_ref[:, :]                  # (p, n)
-    xtnan = jnp.isnan(xtraw)
-    xT_z = jnp.where(xtnan, 0.0, xtraw)
-    xnanT_f = xtnan.astype(jnp.float32)
+    if x_nan:
+        xtnan = jnp.isnan(xtraw)
+        xT_z = jnp.where(xtnan, 0.0, xtraw)
+        xnanT_f = xtnan.astype(jnp.float32)
+    else:
+        xT_z = xtraw
     y2 = y_ref[:, :]                      # (1, n) shared across chains
     llw_C = llw_ref[:, :]                 # (C, n) per-chain row data
     rules_row = rules_ref[:, :].astype(jnp.float32)  # (1, p)
@@ -239,19 +251,26 @@ def _draw_kernel(
 
     sv_exp = mm(E, (t_sv_C + 1).astype(jnp.float32)).astype(jnp.int32) - 1
     sv_v = frozen_i * sv_exp + (1 - frozen_i) * (-1)               # (CP, S)
-    # stored split values may be NaN: expand the zeroed values and the
-    # NaN flags separately, then blend on the BIT pattern
-    sl_nan = jnp.isnan(t_sl_C)
-    sl_clean_e = mm(E, jnp.where(sl_nan, 0.0, t_sl_C))
-    sl_flag_e = mm(E, sl_nan.astype(jnp.float32))
-    sl_frozen = jnp.where(sl_flag_e > 0.5, jnp.nan, sl_clean_e)
-    sl_v = jax.lax.bitcast_convert_type(
-        frozen_i * jax.lax.bitcast_convert_type(sl_frozen, jnp.int32),
-        jnp.float32)
-    st_lo_e = mm(E, (t_st_C & 0xFFFF).astype(jnp.float32))
-    st_hi_e = mm(E, jax.lax.shift_right_logical(t_st_C, 16).astype(jnp.float32))
-    st_v = frozen_i * (st_lo_e.astype(jnp.int32)
-                       | (st_hi_e.astype(jnp.int32) << 16))
+    if x_nan:
+        # stored split values may be NaN: expand the zeroed values and
+        # the NaN flags separately, then blend on the BIT pattern
+        sl_nan = jnp.isnan(t_sl_C)
+        sl_clean_e = mm(E, jnp.where(sl_nan, 0.0, t_sl_C))
+        sl_flag_e = mm(E, sl_nan.astype(jnp.float32))
+        sl_frozen = jnp.where(sl_flag_e > 0.5, jnp.nan, sl_clean_e)
+        sl_v = jax.lax.bitcast_convert_type(
+            frozen_i * jax.lax.bitcast_convert_type(sl_frozen, jnp.int32),
+            jnp.float32)
+    else:
+        sl_v = frozen_f * mm(E, t_sl_C)
+    if all_cont:
+        st_v = jnp.zeros((CP, S), jnp.int32)  # split_set unused
+    else:
+        st_lo_e = mm(E, (t_st_C & 0xFFFF).astype(jnp.float32))
+        st_hi_e = mm(E, jax.lax.shift_right_logical(
+            t_st_C, 16).astype(jnp.float32))
+        st_v = frozen_i * (st_lo_e.astype(jnp.int32)
+                           | (st_hi_e.astype(jnp.int32) << 16))
 
     root_col = (iota_S_row == 0).astype(jnp.float32)   # (1, S)
     root_sum_C = jnp.sum(resid2_C, axis=1, keepdims=True)          # (C, 1)
@@ -303,20 +322,24 @@ def _draw_kernel(
         if d > 0:
             # ancestor gather via exact selection matmuls (NaN-safe for sl)
             A = (cPP == take[:, None]).astype(jnp.float32)  # (CP, CP)
-            sl_isnan = jnp.isnan(sl_v)
-            sl_clean_g = mm(A, jnp.where(sl_isnan, 0.0, sl_v))
-            sl_flag_g = mm(A, sl_isnan.astype(jnp.float32))
-            sl_v = jnp.where(sl_flag_g > 0.5, jnp.nan, sl_clean_g)
+            if x_nan:
+                sl_isnan = jnp.isnan(sl_v)
+                sl_clean_g = mm(A, jnp.where(sl_isnan, 0.0, sl_v))
+                sl_flag_g = mm(A, sl_isnan.astype(jnp.float32))
+                sl_v = jnp.where(sl_flag_g > 0.5, jnp.nan, sl_clean_g)
+            else:
+                sl_v = mm(A, sl_v)
             lf_v = mm(A, lf_v)
             ct_v = mm(A, ct_v)
             pred_v = mm(A, pred_v)
             sv_v = mm(A, (sv_v + 1).astype(jnp.float32)).astype(jnp.int32) - 1
             li_v = mm(A, li_v.astype(jnp.float32)).astype(jnp.int32)
-            st_lo = mm(A, (st_v & 0xFFFF).astype(jnp.float32))
-            st_hi = mm(A, jax.lax.shift_right_logical(
-                st_v, 16).astype(jnp.float32))
-            st_v = (st_lo.astype(jnp.int32)
-                    | (st_hi.astype(jnp.int32) << 16))
+            if not all_cont:
+                st_lo = mm(A, (st_v & 0xFFFF).astype(jnp.float32))
+                st_hi = mm(A, jax.lax.shift_right_logical(
+                    st_v, 16).astype(jnp.float32))
+                st_v = (st_lo.astype(jnp.int32)
+                        | (st_hi.astype(jnp.int32) << 16))
 
         sv_lvl = sv_v[:, lo:hi]
         ct_lvl = ct_v[:, lo:hi]
@@ -372,9 +395,8 @@ def _draw_kernel(
                        + (1 - frozen_i) * var_draw)
             onehot_var = (iota_p_row == var_eff).astype(jnp.float32)
             xcol = mm(onehot_var, xT_z)                    # (CP, n)
-            xnan_col_f = mm(onehot_var, xnanT_f)           # 0/1 values
-            rule_g = jnp.sum(onehot_var * rules_row, axis=1,
-                             keepdims=True).astype(jnp.int32)
+            if x_nan:
+                xnan_col_f = mm(onehot_var, xnanT_f)       # 0/1 values
 
             # uniform row via Gumbel-max within the node
             sc = jnp.where(mask, rg_d, NEG)
@@ -382,33 +404,52 @@ def _draw_kernel(
             win = ((sc == mx) & mask).astype(jnp.float32)
             nwin = jnp.maximum(jnp.sum(win, axis=1, keepdims=True), 1.0)
             val_g = jnp.sum(win * xcol, axis=1, keepdims=True) / nwin
-            valnan_g_f = jnp.minimum(
-                jnp.sum(win * xnan_col_f, axis=1, keepdims=True), 1.0)
+            if x_nan:
+                valnan_g_f = jnp.minimum(
+                    jnp.sum(win * xnan_col_f, axis=1, keepdims=True), 1.0)
 
             # stored split value at the node (NaN tracked separately)
-            sl_nanflag = jnp.isnan(sl_v).astype(jnp.float32)
-            sl_clean = jnp.where(jnp.isnan(sl_v), 0.0, sl_v)
-            node_sl = ext_f(sl_clean, ncol)
-            node_sl_nan = ext_f(sl_nanflag, ncol)
+            if x_nan:
+                sl_nanflag = jnp.isnan(sl_v).astype(jnp.float32)
+                sl_clean = jnp.where(jnp.isnan(sl_v), 0.0, sl_v)
+                node_sl = ext_f(sl_clean, ncol)
+                node_sl_nan = ext_f(sl_nanflag, ncol)
+                valxnan_f = (frozen_f * node_sl_nan
+                             + nonfroz_f * valnan_g_f)
+            else:
+                node_sl = ext_f(sl_v, ncol)
             valx = frozen_f * node_sl + nonfroz_f * val_g
-            valxnan_f = frozen_f * node_sl_nan + nonfroz_f * valnan_g_f
-            own_cat = jnp.clip(val_g.astype(jnp.int32), 0, 31)
-            sb_col = ext_i(sb_t, (iota_Gt_row == node).astype(jnp.int32))
-            st_prop = sb_col | (jnp.int32(1) << own_cat)
-            setx = (frozen_i * ext_i(st_v, ncol.astype(jnp.int32))
-                    + (1 - frozen_i) * st_prop)
+            if not all_cont:
+                rule_g = jnp.sum(onehot_var * rules_row, axis=1,
+                                 keepdims=True).astype(jnp.int32)
+                own_cat = jnp.clip(val_g.astype(jnp.int32), 0, 31)
+                sb_col = ext_i(sb_t, (iota_Gt_row == node).astype(jnp.int32))
+                st_prop = sb_col | (jnp.int32(1) << own_cat)
+                setx = (frozen_i * ext_i(st_v, ncol.astype(jnp.int32))
+                        + (1 - frozen_i) * st_prop)
 
             # routing decision for the node's rows (0/1 f32 algebra)
-            notnan_f = (1.0 - xnan_col_f) * (1.0 - valxnan_f)
-            cont_f = (xcol <= valx).astype(jnp.float32) * notnan_f
-            eq_f = (xcol == valx).astype(jnp.float32) * notnan_f
-            cat_rows = jnp.clip(xcol, 0.0, 31.0).astype(jnp.int32)
-            sub_f = ((setx >> cat_rows) & 1).astype(jnp.float32) \
-                * (1.0 - xnan_col_f)
-            rr0_f = (rule_g == 0).astype(jnp.float32)
-            rr1_f = (rule_g == 1).astype(jnp.float32)
-            left_f = (rr0_f * cont_f + rr1_f * eq_f
-                      + (1.0 - rr0_f - rr1_f) * sub_f)
+            if x_nan:
+                notnan_f = (1.0 - xnan_col_f) * (1.0 - valxnan_f)
+                cont_f = (xcol <= valx).astype(jnp.float32) * notnan_f
+            else:
+                cont_f = (xcol <= valx).astype(jnp.float32)
+            if all_cont:
+                left_f = cont_f
+            else:
+                if x_nan:
+                    eq_f = (xcol == valx).astype(jnp.float32) * notnan_f
+                    nonan_row = 1.0 - xnan_col_f
+                else:
+                    eq_f = (xcol == valx).astype(jnp.float32)
+                    nonan_row = 1.0
+                cat_rows = jnp.clip(xcol, 0.0, 31.0).astype(jnp.int32)
+                sub_f = ((setx >> cat_rows) & 1).astype(jnp.float32) \
+                    * nonan_row
+                rr0_f = (rule_g == 0).astype(jnp.float32)
+                rr1_f = (rule_g == 1).astype(jnp.float32)
+                left_f = (rr0_f * cont_f + rr1_f * eq_f
+                          + (1.0 - rr0_f - rr1_f) * sub_f)
 
             lm = mask_f * left_f
             cl = jnp.sum(lm, axis=1, keepdims=True)
@@ -436,13 +477,19 @@ def _draw_kernel(
             mkn = ncol * grow_ok_f                 # (CP, S) 0/1
             mkn_i = mkn.astype(jnp.int32)
             sv_v = mkn_i * var_eff + (1 - mkn_i) * sv_v
-            # commit the split value on the BIT pattern (may be NaN)
-            val_commit = jnp.where(valnan_g_f > 0.5, jnp.nan, val_g)
-            sl_v = jax.lax.bitcast_convert_type(
-                mkn_i * jax.lax.bitcast_convert_type(val_commit, jnp.int32)
-                + (1 - mkn_i) * jax.lax.bitcast_convert_type(sl_v, jnp.int32),
-                jnp.float32)
-            st_v = mkn_i * st_prop + (1 - mkn_i) * st_v
+            if x_nan:
+                # commit the split value on the BIT pattern (may be NaN)
+                val_commit = jnp.where(valnan_g_f > 0.5, jnp.nan, val_g)
+                sl_v = jax.lax.bitcast_convert_type(
+                    mkn_i * jax.lax.bitcast_convert_type(val_commit,
+                                                         jnp.int32)
+                    + (1 - mkn_i) * jax.lax.bitcast_convert_type(
+                        sl_v, jnp.int32),
+                    jnp.float32)
+            else:
+                sl_v = mkn * val_g + (1.0 - mkn) * sl_v
+            if not all_cont:
+                st_v = mkn_i * st_prop + (1 - mkn_i) * st_v
             mkl = lcol * grow_ok_f
             mkr = rcol * grow_ok_f
             ct_v = mkl * cl + (1.0 - mkl) * ct_v
@@ -517,14 +564,21 @@ def _draw_kernel(
         wsel = (idxCP == widx).astype(jnp.float32)[None, :]   # (1, CP)
 
         sv_w = mm(wsel, (sv_v + 1).astype(jnp.float32)) - 1.0  # (1, S) f32
-        st_lo_w = mm(wsel, (st_v & 0xFFFF).astype(jnp.float32))
-        st_hi_w = mm(wsel, jax.lax.shift_right_logical(
-            st_v, 16).astype(jnp.float32))
-        st_w = (st_lo_w.astype(jnp.int32) | (st_hi_w.astype(jnp.int32) << 16))
-        sl_isnan = jnp.isnan(sl_v)
-        sl_clean_w = mm(wsel, jnp.where(sl_isnan, 0.0, sl_v))
-        sl_flag_w = mm(wsel, sl_isnan.astype(jnp.float32))
-        sl_w = jnp.where(sl_flag_w > 0.5, jnp.nan, sl_clean_w)
+        if all_cont:
+            st_w = jnp.zeros((1, S), jnp.int32)
+        else:
+            st_lo_w = mm(wsel, (st_v & 0xFFFF).astype(jnp.float32))
+            st_hi_w = mm(wsel, jax.lax.shift_right_logical(
+                st_v, 16).astype(jnp.float32))
+            st_w = (st_lo_w.astype(jnp.int32)
+                    | (st_hi_w.astype(jnp.int32) << 16))
+        if x_nan:
+            sl_isnan = jnp.isnan(sl_v)
+            sl_clean_w = mm(wsel, jnp.where(sl_isnan, 0.0, sl_v))
+            sl_flag_w = mm(wsel, sl_isnan.astype(jnp.float32))
+            sl_w = jnp.where(sl_flag_w > 0.5, jnp.nan, sl_clean_w)
+        else:
+            sl_w = mm(wsel, sl_v)
         lf_w = mm(wsel, lf_v)                                  # (1, S)
         ct_w = mm(wsel, ct_v)
         li_w = mm(wsel, li_v.astype(jnp.float32)).astype(jnp.int32)  # (1, n)
@@ -756,7 +810,8 @@ def _chains_vmem_ok(C: int, cfg: BartConfig, pg: PgbartConfig, n: int,
 
 def _chains_impl(keys, state, X, Y_target, rules, cfg: BartConfig,
                  pg: PgbartConfig, lik_row, tuning: bool, rng_mode: str,
-                 lik: str, lik_const: float):
+                 lik: str, lik_const: float, all_cont: bool = False,
+                 x_nan: bool = True):
     """Run one PGBART step for C chains in ONE kernel instance.
 
     ``keys``: (C,) per-chain PRNG keys; ``state``: PgbartState pytree with
@@ -836,6 +891,7 @@ def _chains_impl(keys, state, X, Y_target, rules, cfg: BartConfig,
         alpha=float(cfg.alpha), beta=float(cfg.beta), tuning=tuning,
         gen_gumbel=gen_gumbel, lik=lik, lik_const=float(lik_const),
         vi_in_kernel=vi_in_kernel, spd=float(pg.split_prior_decay),
+        all_cont=all_cont, x_nan=x_nan,
     )
 
     def full(shape):
@@ -916,7 +972,8 @@ def _chains_impl(keys, state, X, Y_target, rules, cfg: BartConfig,
 
 @functools.lru_cache(maxsize=None)
 def _fused_step_cached(cfg: BartConfig, pg: PgbartConfig, tuning: bool,
-                       rng_mode: str, lik: str, lik_const: float):
+                       rng_mode: str, lik: str, lik_const: float,
+                       all_cont: bool, x_nan: bool):
     from jax import custom_batching
 
     def single(key, state, X, Y_target, rules, lik_row):
@@ -925,7 +982,7 @@ def _fused_step_cached(cfg: BartConfig, pg: PgbartConfig, tuning: bool,
         lr1 = None if lik_row is None else lik_row[None]
         out_state, vi = _chains_impl(
             key[None], st1, X, Y_target, rules, cfg, pg, lr1, tuning,
-            rng_mode, lik, lik_const)
+            rng_mode, lik, lik_const, all_cont, x_nan)
         return jax.tree.map(lambda a: a[0], out_state), vi[0]
 
     step = custom_batching.custom_vmap(single)
@@ -959,7 +1016,8 @@ def _fused_step_cached(cfg: BartConfig, pg: PgbartConfig, tuning: bool,
         state_C = jax.tree.map(bcl, state, sb_)
         lr_C = None if lik_row is None else bcl(lik_row, lb)
         outs = _chains_impl(keys_C, state_C, X, Y_target, rules, cfg, pg,
-                            lr_C, tuning, rng_mode, lik, lik_const)
+                            lr_C, tuning, rng_mode, lik, lik_const,
+                            all_cont, x_nan)
         return outs, (jax.tree.map(lambda _: True, outs[0]), True)
 
     return step
@@ -968,7 +1026,8 @@ def _fused_step_cached(cfg: BartConfig, pg: PgbartConfig, tuning: bool,
 def pgbart_step_fused(key, state, X, Y_target, rules, cfg: BartConfig,
                       pg: PgbartConfig, gauss_w, tuning: bool,
                       rng_mode: str = "batched", lik: str = "gauss",
-                      lik_const: float = 0.0):
+                      lik_const: float = 0.0, all_cont: bool = False,
+                      x_nan: bool = True):
     """One full PGBART MCMC step as a single Pallas program (one chain).
 
     Drop-in for ``pgbart.pgbart_step`` on the fused-likelihood path.
@@ -979,5 +1038,5 @@ def pgbart_step_fused(key, state, X, Y_target, rules, cfg: BartConfig,
     custom_vmap rule above.  Returns (new_state, vi counts float32[p]).
     """
     step = _fused_step_cached(cfg, pg, bool(tuning), rng_mode, lik,
-                              float(lik_const))
+                              float(lik_const), bool(all_cont), bool(x_nan))
     return step(key, state, X, Y_target, rules, gauss_w)

@@ -486,6 +486,11 @@ def sample(
         rules = jnp.asarray(brv.rules_array())
         obs_y = (jnp.asarray(model.observed_rvs[0].observed, jnp.float32
                              ).reshape(-1) if model.observed_rvs else None)
+        # static kernel specializations from the CONCRETE host arrays:
+        # all-continuous rules and NaN-free X drop ~1/3 of the
+        # megakernel's per-node vector ops
+        all_cont = bool((np.asarray(brv.rules_array()) == 0).all())
+        x_nan = bool(np.isnan(X_np).any())
         if brv.config.separate_trees and k > 1:
             cfg1 = _dc.replace(brv.config, n_outputs=1, separate_trees=False)
             for j in range(k):
@@ -495,6 +500,7 @@ def sample(
                          pg=pg_cfgs[brv.name],
                          loglik=_make_loglik_output(compiled, brv.name, j),
                          split_prior=brv.split_prior, obs_y=obs_y,
+                         all_cont=all_cont, x_nan=x_nan,
                          fused=_fused_likelihood(model, brv, out=j))
                 )
         else:
@@ -503,6 +509,7 @@ def sample(
                      Yt=Yt, rules=rules, cfg=brv.config, pg=pg_cfgs[brv.name],
                      loglik=_make_loglik(compiled, brv.name),
                      split_prior=brv.split_prior, obs_y=obs_y,
+                     all_cont=all_cont, x_nan=x_nan,
                      fused=_fused_likelihood(model, brv))
             )
 
@@ -645,7 +652,8 @@ def sample(
                 keys[i], bart_states[i], sd["X"][i], sd["Yt"][i],
                 bs["rules"], bs["cfg"], bs["pg"], bs["loglik"], lik_params,
                 tuning, gauss_w=gauss_w, lik=lik, lik_const=lik_const,
-                data_axis=data_axis,
+                data_axis=data_axis, all_cont=bs["all_cont"],
+                x_nan=bs["x_nan"],
             )
             bart_states[i] = new_state
             vis.append(vi)

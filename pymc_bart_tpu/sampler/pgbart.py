@@ -662,11 +662,13 @@ def _megakernel_enabled(cfg: BartConfig, pg: PgbartConfig, X, gauss_w,
 
 
 @partial(jax.jit, static_argnames=("cfg", "pg", "loglik_fn", "tuning",
-                                   "data_axis", "lik", "lik_const"))
+                                   "data_axis", "lik", "lik_const",
+                                   "all_cont", "x_nan"))
 def pgbart_step(key, state: PgbartState, X, Y_target, rules,
                 cfg: BartConfig, pg: PgbartConfig, loglik_fn: Callable,
                 lik_params, tuning: bool, gauss_w=None, data_axis=None,
-                lik: str = "gauss", lik_const: float = 0.0):
+                lik: str = "gauss", lik_const: float = 0.0,
+                all_cont: bool = False, x_nan: bool = True):
     """One PGBART MCMC step (one chain): update a rotating batch of trees.
 
     ``loglik_fn(f, lik_params) -> scalar`` is the model log-likelihood of a
@@ -692,7 +694,8 @@ def pgbart_step(key, state: PgbartState, X, Y_target, rules,
         # available for very large n where the 2.4 MB/draw block matters
         return pgbart_step_fused(key, state, X, Y_target, rules, cfg, pg,
                                  gauss_w, tuning, rng_mode="batched",
-                                 lik=lik, lik_const=lik_const)
+                                 lik=lik, lik_const=lik_const,
+                                 all_cont=all_cont, x_nan=x_nan)
     m = cfg.m
     B = pg.batch_size(m, tuning)
     n, p = X.shape

@@ -215,3 +215,37 @@ def test_wide_p_megakernel_matches_xla_path(monkeypatch):
     np.testing.assert_allclose(np.asarray(want_state.sum_trees),
                                np.asarray(got_state.sum_trees),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_specialized_kernel_matches_general():
+    """The all_cont / no-NaN static specializations must be bit-equivalent
+    to the general kernel on clean continuous data (they only remove ops
+    that are no-ops for such data)."""
+    X, Y, cfg, pg, rules, state = _setup(seed=7)
+    gauss_w = jnp.full((X.shape[0], 1), 4.0, jnp.float32)
+    key = jax.random.PRNGKey(3)
+    want = pgbart_step_fused(key, state, X, Y, rules, cfg, pg, gauss_w,
+                             True, rng_mode="batched")
+    got = pgbart_step_fused(key, state, X, Y, rules, cfg, pg, gauss_w,
+                            True, rng_mode="batched", all_cont=True,
+                            x_nan=False)
+    # split_set intentionally differs: the general kernel stores the
+    # (unused) random subset masks alongside continuous splits, the
+    # specialized kernel stores zeros — routing never reads them for
+    # continuous-rule columns.  Everything that matters must be EXACT.
+    ws, gs = want[0], got[0]
+    np.testing.assert_array_equal(np.asarray(ws.forest.split_var),
+                                  np.asarray(gs.forest.split_var))
+    np.testing.assert_array_equal(np.asarray(ws.forest.count),
+                                  np.asarray(gs.forest.count))
+    np.testing.assert_array_equal(np.asarray(ws.forest.split_val),
+                                  np.asarray(gs.forest.split_val))
+    np.testing.assert_array_equal(np.asarray(ws.forest.leaf),
+                                  np.asarray(gs.forest.leaf))
+    np.testing.assert_array_equal(np.asarray(ws.sum_trees),
+                                  np.asarray(gs.sum_trees))
+    np.testing.assert_array_equal(np.asarray(ws.alpha_vec),
+                                  np.asarray(gs.alpha_vec))
+    np.testing.assert_array_equal(np.asarray(ws.leaf_sd),
+                                  np.asarray(gs.leaf_sd))
+    np.testing.assert_array_equal(np.asarray(want[1]), np.asarray(got[1]))
