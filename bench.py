@@ -168,7 +168,7 @@ def config_friedman(n=1000, p=10, m=50, chains=4, tune=200, draws=600):
             "vi_top5_is_signal": top5 == {0, 1, 2, 3, 4},
         }
 
-    return run_config("friedman", model, tune, draws, chains, draws // 3,
+    return run_config("friedman", model, tune, draws, chains, draws // 4,
                       quality, num_particles=20)
 
 
@@ -189,7 +189,7 @@ def config_bikes(n=1000, m=50, chains=4, tune=200, draws=400):
                 np.sqrt(np.mean((mu_hat - lam) ** 2)) / lam.std()), 3),
         }
 
-    return run_config("bikes", model, tune, draws, chains, draws // 3,
+    return run_config("bikes", model, tune, draws, chains, draws // 4,
                       quality, num_particles=20)
 
 
@@ -215,7 +215,7 @@ def config_logistic(n=1000, p=10, m=50, chains=4, tune=200, draws=400):
                 "bayes_accuracy": round(bayes, 3),
                 "mean_loglik": round(ll, 3)}
 
-    return run_config("logistic", model, tune, draws, chains, draws // 3,
+    return run_config("logistic", model, tune, draws, chains, draws // 4,
                       quality, mu_name="lo", extra_ess=(),
                       num_particles=20)
 
@@ -240,7 +240,7 @@ def config_heteroscedastic(n=500, m=30, chains=4, tune=200, draws=400):
                 "scale_hi_over_lo": round(hi / max(lo, 1e-9), 2)}
 
     return run_config("heteroscedastic", model, tune, draws, chains,
-                      draws // 3, quality, mu_name="w", extra_ess=())
+                      draws // 4, quality, mu_name="w", extra_ess=())
 
 
 def config_highdim(n=200, p=1000, m=50, chains=2, tune=150, draws=100):
@@ -263,7 +263,7 @@ def config_highdim(n=200, p=1000, m=50, chains=2, tune=150, draws=100):
                 "signal_mass": round(mass, 3)}
 
     return run_config("highdim_p1000", model, tune, draws, chains,
-                      max(draws // 3, 1), quality,
+                      max(draws // 4, 1), quality,
                       num_particles=40, batch=(0.5, 0.5),
                       split_prior_decay=0.999)
 
@@ -282,7 +282,7 @@ def config_large_n(n=100_000, p=10, m=20, chains=4, tune=50, draws=100):
             float(np.sqrt(np.mean((mu_hat - f_true) ** 2))), 3)}
 
     return run_config("large_n_100k", model, tune, draws, chains,
-                      max(draws // 2, 1), quality, num_particles=10,
+                      max(draws // 4, 1), quality, num_particles=10,
                       store_trees=False)
 
 

@@ -371,6 +371,67 @@ class PGBART:
                                    num_refinements=num_refinements)
 
 
+def _pack_forest_slice(bs, f, jt=None):
+    """Pack forest arrays for host off-load: optional tree-batch slice
+    (``jt`` indices) plus exact dtype narrowing; split_set / slope are
+    dropped when statically unused (reconstructed as zeros host-side)."""
+    take = (lambda a: a) if jt is None else (
+        lambda a: jnp.take(a, jt, axis=0))
+    d = {
+        "sv": take(f.split_var).astype(
+            jnp.int8 if bs["X"].shape[1] < 127 else jnp.int32),
+        "sl": take(f.split_val),
+        "lf": take(f.leaf),
+        "ct": (take(f.count).astype(jnp.uint16)
+               if bs["X"].shape[0] < 65536 else take(f.count)),
+    }
+    if jt is not None:
+        d["jt"] = jt
+    if not bs["all_cont"]:
+        d["ss"] = take(f.split_set)
+    if bs["cfg"].response != "constant":
+        d["sp"] = take(f.slope)
+    return d
+
+
+def _unpack_forest_deltas(bs, delta_chunks, snap0_chunks):
+    """Rebuild full per-draw forests from chunk-start snapshots + per-draw
+    updated-tree deltas (the inverse of ``_pack_forest_slice``).
+
+    Returns (sv, sl, ss, lf, ct, sp) each shaped
+    (chains, draws, m, S[, k]) in the full-width dtypes."""
+    cfg = bs["cfg"]
+    m, S, k = cfg.m, cfg.n_nodes, cfg.n_outputs
+    widen = {"sv": np.int32, "sl": np.float32, "lf": np.float32,
+             "ct": np.float32, "ss": np.uint32, "sp": np.float32}
+    pieces: Dict[str, List[np.ndarray]] = {key: [] for key in widen}
+    for snap0, dl in zip(snap0_chunks, delta_chunks):
+        jt = np.asarray(dl["jt"], np.int64)           # (chains, c, B)
+        chains_n, c = jt.shape[0], jt.shape[1]
+        ci = np.arange(chains_n)[:, None]
+        cur: Dict[str, np.ndarray] = {}
+        for key, dt in widen.items():
+            if key in snap0:
+                cur[key] = np.asarray(snap0[key]).astype(dt)
+            elif key == "ss":
+                cur[key] = np.zeros((chains_n, m, S), dt)
+            else:  # "sp"
+                cur[key] = np.zeros((chains_n, m, S, k), dt)
+        out = {key: np.empty((chains_n, c) + cur[key].shape[1:],
+                             cur[key].dtype) for key in cur}
+        for d_ in range(c):
+            for key in cur:
+                if key in dl:
+                    cur[key][ci, jt[:, d_]] = np.asarray(
+                        dl[key][:, d_]).astype(cur[key].dtype)
+                out[key][:, d_] = cur[key]
+        for key in pieces:
+            pieces[key].append(out[key])
+    full = {key: np.concatenate(v, axis=1) for key, v in pieces.items()}
+    return (full["sv"], full["sl"], full["ss"], full["lf"], full["ct"],
+            full["sp"])
+
+
 def _make_loglik(compiled: CompiledModel, vname: str):
     """Particle-weight log-likelihood for one BART variable.
 
@@ -721,18 +782,36 @@ def sample(
                   if by_rv else jnp.zeros((0, p_max)))
         snap = None
         if store_trees:
-            snap = tuple(
-                (s.forest.split_var, s.forest.split_val, s.forest.split_set,
-                 s.forest.leaf, s.forest.count, s.forest.slope)
-                for s in bart_states
-            )
+            # Device->host forest snapshots are the dominant per-draw cost
+            # on tunneled TPUs.  Two reductions: (1) DELTAS — only the
+            # draw's updated tree batch (B of m trees) ships per draw,
+            # with one full forest per chunk (see _pack_forests); (2)
+            # dtype PACKING — split vars fit int8 (p < 127), counts fit
+            # uint16 (n < 65536), split_set / slope are statically absent
+            # for all-continuous rules / constant response.  All casts
+            # are exact; the host reconstructs full per-draw forests.
+            snap = []
+            for bs, s in zip(bart_static, bart_states):
+                B_i = bs["pg"].batch_size(bs["cfg"].m, False)
+                jt = (s.batch_offset - B_i
+                      + jnp.arange(B_i, dtype=jnp.int32)) % bs["cfg"].m
+                f = s.forest
+                snap.append(_pack_forest_slice(bs, f, jt))
+            snap = tuple(snap)
         return carry, (values, vi_pad, stats, snap)
 
     def tune_chunk(carry, keys, sd):
         return jax.lax.scan(functools.partial(tune_body, sd), carry, keys)[0]
 
     def draw_chunk(carry, keys, sd):
-        return jax.lax.scan(functools.partial(draw_body, sd), carry, keys)
+        # the chunk-start full forests anchor the per-draw deltas
+        snap0 = None
+        if store_trees:
+            snap0 = tuple(_pack_forest_slice(bs, s.forest)
+                          for bs, s in zip(bart_static, carry[0]))
+        carry, outs = jax.lax.scan(functools.partial(draw_body, sd), carry,
+                                   keys)
+        return carry, (outs, snap0)
 
     # chains ride a vmapped leading axis; the row-space arrays (sd) are
     # shared across chains (in_axes=None)
@@ -824,8 +903,20 @@ def sample(
             stats_spec = {k_: Pch for k_ in
                           ("accept", "diverging", "tree_depth", "n_steps",
                            "step_size", "energy")}
-            snap_spec = (tuple((Pch,) * 6 for _ in bart_static)
-                         if store_trees else None)
+            def _snap_spec(bs, delta):
+                d = {"sv": Pch, "sl": Pch, "lf": Pch, "ct": Pch}
+                if delta:
+                    d["jt"] = Pch
+                if not bs["all_cont"]:
+                    d["ss"] = Pch
+                if bs["cfg"].response != "constant":
+                    d["sp"] = Pch
+                return d
+
+            delta_spec = (tuple(_snap_spec(bs, True) for bs in bart_static)
+                          if store_trees else None)
+            snap0_spec = (tuple(_snap_spec(bs, False) for bs in bart_static)
+                          if store_trees else None)
             jit_init = sharded(v_init, in_specs=(Pch, sd_spec),
                                out_specs=carry_spec)
             jit_tune = sharded(v_tune, in_specs=(carry_spec, Pch, sd_spec),
@@ -833,7 +924,8 @@ def sample(
             jit_draw = sharded(
                 v_draw, in_specs=(carry_spec, Pch, sd_spec),
                 out_specs=(carry_spec,
-                           (_value_specs(), Pch, stats_spec, snap_spec)))
+                           ((_value_specs(), Pch, stats_spec, delta_spec),
+                            snap0_spec)))
 
     chain_keys = jax.random.split(jax.random.fold_in(root_key, 0), chains)
     if mesh is not None:
@@ -844,12 +936,15 @@ def sample(
     if chunk_size is None:
         chunk_size = max(1, min(200, draws))
 
-    def chunk_keys(phase: int, start: int, count: int):
-        ks = jnp.stack([
-            jax.random.split(jax.random.fold_in(root_key, (phase << 20) + start + t),
-                             chains)
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def _make_keys(base: jax.Array, count: int):
+        return jnp.stack([
+            jax.random.split(jax.random.fold_in(root_key, base + t), chains)
             for t in range(count)
         ], axis=1)  # (chains, count, key)
+
+    def chunk_keys(phase: int, start: int, count: int):
+        ks = _make_keys(jnp.int32((phase << 20) + start), count)
         if mesh is not None:
             ks = jax.device_put(ks, sharding)
         return ks
@@ -918,35 +1013,64 @@ def sample(
         jax.profiler.start_trace(profile_dir)
     t = start_draw
     draw_t0 = time.perf_counter()
+
+    def drain(outs):
+        if jax.process_count() > 1:
+            # multi-host: chains live on remote hosts' devices; gather
+            # every host's shards over DCN so each process returns the
+            # FULL posterior (replaces the reference's Manager-list IPC)
+            from jax.experimental import multihost_utils
+
+            return jax.tree.map(
+                np.asarray,
+                multihost_utils.process_allgather(outs, tiled=True))
+        return jax.device_get(outs)
+
+    # Overlap the device->host off-load of chunk k with the dispatch and
+    # compute of chunk k+1 (JAX dispatch is asynchronous): drain lags one
+    # chunk behind.  Checkpointing needs draws and carry in lock-step, so
+    # it forces the serial path.
+    overlap = checkpoint_dir is None
+    pending = None
     try:
         while t < draws:
             c = min(chunk_size, draws - t)
             chunk_t0 = time.perf_counter()
-            carry, outs = jit_draw(carry, chunk_keys(1, t, c), sd_full)
-            if jax.process_count() > 1:
-                # multi-host: chains live on remote hosts' devices; gather
-                # every host's shards over DCN so each process returns the
-                # FULL posterior (replaces the reference's Manager-list IPC)
-                from jax.experimental import multihost_utils
-
-                host_outs = jax.tree.map(
-                    np.asarray,
-                    multihost_utils.process_allgather(outs, tiled=True))
+            # always run FULL-SIZE chunks (a shorter final chunk would be
+            # a second jit compile of the whole draw program — far more
+            # expensive than the few discarded draws)
+            carry, outs = jit_draw(carry, chunk_keys(1, t, chunk_size),
+                                   sd_full)
+            if c < chunk_size:
+                scan_o, snap0_o = outs
+                scan_o = jax.tree.map(lambda a: a[:, :c], scan_o)
+                outs = (scan_o, snap0_o)
+            if overlap:
+                if pending is not None:
+                    acc.append(drain(pending))
+                pending = outs
             else:
-                host_outs = jax.device_get(outs)
+                host_outs = drain(outs)
+                acc.append(host_outs)
+                maybe_checkpoint(carry, tune + t + c)
+                ckpt_mod.save_draw_chunk(checkpoint_dir, tune + t + c,
+                                         host_outs)
             if timings is not None:
                 timings["draw_chunk_seconds"].append(
                     time.perf_counter() - chunk_t0)
                 timings["draw_chunk_sizes"].append(c)
-            acc.append(host_outs)
             t += c
-            maybe_checkpoint(carry, tune + t)
-            if checkpoint_dir is not None:
-                ckpt_mod.save_draw_chunk(checkpoint_dir, tune + t, host_outs)
             if progressbar:
                 rate = (t - start_draw) * chains / max(
                     time.perf_counter() - draw_t0, 1e-9)
                 print(f"draw {t}/{draws} ({rate:.1f} chain-draws/s)", flush=True)
+        if pending is not None:
+            final_t0 = time.perf_counter()
+            acc.append(drain(pending))
+            pending = None
+            if timings is not None and timings["draw_chunk_seconds"]:
+                timings["draw_chunk_seconds"][-1] += (
+                    time.perf_counter() - final_t0)
     finally:
         if profile_dir is not None:
             jax.profiler.stop_trace()
@@ -956,7 +1080,11 @@ def sample(
     def cat_chunks(*chunks):
         return np.concatenate([np.asarray(x) for x in chunks], axis=1)
 
-    values, vi, stats_acc, snaps = jax.tree.map(cat_chunks, *acc)
+    scan_accs = [a[0] for a in acc]
+    snap0_accs = [a[1] for a in acc]
+    values, vi, stats_acc = jax.tree.map(
+        cat_chunks, *[(o[0], o[1], o[2]) for o in scan_accs])
+    deltas_accs = [o[3] for o in scan_accs]  # per chunk, per entry
     accept = stats_acc["accept"]
     draws = vi.shape[1] if n_bart else accept.shape[1]  # actual collected
 
@@ -1011,10 +1139,12 @@ def sample(
     # attach posterior forests to each BART RV (the all_trees equivalent);
     # a separate-trees RV gets a LIST of per-output stores — the same
     # layout the reference uses for per-output tree lists (utils.py:70-85)
-    if store_trees and snaps is not None:
+    if store_trees and deltas_accs and deltas_accs[0] is not None:
         by_name: Dict[str, List[PosteriorForests]] = {}
         for i, bs in enumerate(bart_static):
-            sv, sl, ss, lf, ct, sp = (np.asarray(a) for a in snaps[i])
+            sv, sl, ss, lf, ct, sp = _unpack_forest_deltas(
+                bs, [d[i] for d in deltas_accs],
+                [s0[i] for s0 in snap0_accs])
             store = PosteriorForests(
                 split_var=sv, split_val=sl, split_set=ss, leaf=lf, count=ct,
                 slope=sp, config=bs["cfg"], rules=np.asarray(bs["rules"]),

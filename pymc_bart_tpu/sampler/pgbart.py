@@ -294,7 +294,9 @@ def _pallas_enabled(cfg: BartConfig, X) -> bool:
     if cfg.response != "constant":
         return False
     n, p = X.shape
-    return n * p <= 2_000_000
+    # n cap: the per-round grow kernel holds several (P, n) row blocks in
+    # VMEM; very large n must stay on the XLA path
+    return n * p <= 2_000_000 and n <= 30_000
 
 
 def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
