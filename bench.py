@@ -15,7 +15,7 @@ the 5 configs, through the user entry point.  This bench runs:
                      fused gauss + het_abs megakernels)
   5. highdim       — p=1000 sparse variable selection (+ split-prior
                      decay); p > 512 falls off the megakernel by design
-  6. large_n       — n=100k rows (megakernel VMEM-gated; fallback path)
+  6. large_n       — n=50k rows (every Pallas path VMEM-gated off; XLA path)
 
 Steady-state rate = draws after the first chunk (the first draw chunk
 carries the draw-program compile); the tune phase warms the tune
@@ -268,7 +268,10 @@ def config_highdim(n=200, p=1000, m=50, chains=2, tune=150, draws=100):
                       split_prior_decay=0.999)
 
 
-def config_large_n(n=100_000, p=10, m=20, chains=4, tune=50, draws=100):
+def config_large_n(n=50_000, p=10, m=20, chains=2, tune=40, draws=80):
+    # n is VMEM-gated off every Pallas path by design (the XLA sampler
+    # path handles it); chains=2 keeps the vmapped per-particle
+    # intermediates comfortably inside HBM at this n
     X, Y, f_true = friedman(n, p, seed=5)
 
     def model(pmb):
@@ -281,7 +284,7 @@ def config_large_n(n=100_000, p=10, m=20, chains=4, tune=50, draws=100):
         return {"rmse_vs_true_f": round(
             float(np.sqrt(np.mean((mu_hat - f_true) ** 2))), 3)}
 
-    return run_config("large_n_100k", model, tune, draws, chains,
+    return run_config("large_n_50k", model, tune, draws, chains,
                       max(draws // 4, 1), quality, num_particles=10,
                       store_trees=False)
 

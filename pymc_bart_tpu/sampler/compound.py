@@ -985,10 +985,21 @@ def sample(
                                      step=step)
 
     # -- tuning --------------------------------------------------------------
+    # equal-size tune chunks: a differently-sized final chunk would be a
+    # second full compile of the tune program (state evolution depends
+    # only on step count + absolute key indices, not chunk boundaries)
+    def _even_chunks(total: int, max_chunk: int):
+        import math
+
+        n = max(1, math.ceil(total / max(max_chunk, 1)))
+        base, extra = divmod(total, n)
+        return [base + 1] * extra + [base] * (n - extra)
+
     tune_t0 = time.perf_counter()
     t = start_tune
-    while t < tune:
-        c = min(chunk_size, tune - t)
+    for c in _even_chunks(tune - start_tune, chunk_size):
+        if c == 0:
+            continue
         carry = jit_tune(carry, chunk_keys(0, t, c), sd_full)
         t += c
         maybe_checkpoint(carry, t)
