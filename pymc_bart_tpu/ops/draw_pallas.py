@@ -793,10 +793,14 @@ def fused_draw_supported(cfg: BartConfig, pg: PgbartConfig, X,
 
 
 def _chains_vmem_ok(C: int, cfg: BartConfig, pg: PgbartConfig, n: int,
-                    m: int) -> bool:
-    """Rough VMEM budget for C chains in one kernel instance."""
+                    m: int, with_rg: bool = True) -> bool:
+    """Rough VMEM budget for C chains in one kernel instance.
+
+    ``with_rg=False`` models the in-kernel Mosaic-PRNG mode, where the
+    (depth x C x P x n) row-Gumbel block never materializes — that mode
+    extends chain batching to higher C."""
     CP = C * pg.num_particles
-    rg_block = cfg.max_depth * CP * n * 4 * 2       # double-buffered
+    rg_block = (cfg.max_depth * CP * n * 4 * 2 if with_rg else 0)
     forest = 2 * 6 * C * m * cfg.n_nodes * 4
     tp = 2 * C * m * n * 4
     transient = 3 * CP * n * 4 + cfg.n_nodes * n * 4
@@ -994,8 +998,20 @@ def _fused_step_cached(cfg: BartConfig, pg: PgbartConfig, tuning: bool,
         n, _p = X.shape if not xb else X.shape[1:]
         data_shared = not (xb or yb or rb)
         m = (state.forest.split_var.shape[-2])
+        # when only the pre-drawn row-Gumbel block breaks the VMEM
+        # budget, generate it in-kernel (Mosaic PRNG) instead of
+        # falling back to sequential per-chain execution
+        rng_eff = rng_mode
+        if (data_shared and jax.default_backend() != "cpu"
+                and not _chains_vmem_ok(axis_size, cfg, pg, n, m)
+                and _chains_vmem_ok(axis_size, cfg, pg, n, m,
+                                    with_rg=False)):
+            rng_eff = "kernel"
         if (not data_shared
-                or not _chains_vmem_ok(axis_size, cfg, pg, n, m)):
+                or not _chains_vmem_ok(
+                    axis_size, cfg, pg, n, m,
+                    with_rg=(rng_eff != "kernel"
+                             or jax.default_backend() == "cpu"))):
             # fall back to a sequential per-chain scan (matches the
             # pre-round-3 grid-serialized behavior)
             def bc(x, b):
@@ -1016,7 +1032,7 @@ def _fused_step_cached(cfg: BartConfig, pg: PgbartConfig, tuning: bool,
         state_C = jax.tree.map(bcl, state, sb_)
         lr_C = None if lik_row is None else bcl(lik_row, lb)
         outs = _chains_impl(keys_C, state_C, X, Y_target, rules, cfg, pg,
-                            lr_C, tuning, rng_mode, lik, lik_const,
+                            lr_C, tuning, rng_eff, lik, lik_const,
                             all_cont, x_nan)
         return outs, (jax.tree.map(lambda _: True, outs[0]), True)
 
