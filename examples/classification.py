@@ -41,7 +41,10 @@ def categorical():
                   for l in logits]).astype(float)
 
     with pmb.Model():
-        lo = pmb.BART("logodds", X, Y, m=10, shape=(n_class, n))
+        # separate_trees gives each class its own forest and the fused
+        # cat_logit megakernel path on TPU
+        lo = pmb.BART("logodds", X, Y, m=10, shape=(n_class, n),
+                      separate_trees=True)
         pmb.Categorical("y", p=pmb.math.softmax(lo.T, axis=-1), observed=Y)
         idata = pmb.sample(tune=300, draws=300, chains=1, random_seed=2,
                            batch=(0.5, 0.5))

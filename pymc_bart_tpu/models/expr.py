@@ -60,7 +60,9 @@ class Expr:
 
     @property
     def T(self):
-        return Op(lambda x: jnp.swapaxes(x, -1, -2) if x.ndim > 1 else x, self)
+        op = Op(lambda x: jnp.swapaxes(x, -1, -2) if x.ndim > 1 else x, self)
+        op.tag = ("transpose",)
+        return op
 
     def exp(self):
         return Op(jnp.exp, self)

@@ -300,6 +300,14 @@ def _draw_kernel(
             F = noi_e + pv
             col = jnp.sum(-0.5 * llw_e * jnp.exp(-2.0 * F) - F,
                           axis=1, keepdims=True)
+        elif lik == "cat_logit":
+            # separate-trees softmax class update: y2 > 0 flags this
+            # output's rows, llw = logsumexp of the OTHER outputs
+            F = noi_e + pv
+            lse = jnp.maximum(F, llw_e) + jnp.log1p(
+                jnp.exp(-jnp.abs(F - llw_e)))
+            col = jnp.sum((y2 > 0).astype(jnp.float32) * F - lse,
+                          axis=1, keepdims=True)
         else:
             raise ValueError(lik)
         return _row_from_col(col, CP)
@@ -606,6 +614,11 @@ def _draw_kernel(
                 F = noi1 + pred_row
                 sg = jnp.abs(F) + lik_const
                 return jnp.sum(-0.5 * llw1 / (sg * sg) - jnp.log(sg))
+            if lik == "cat_logit":
+                F = noi1 + pred_row
+                lse = jnp.maximum(F, llw1) + jnp.log1p(
+                    jnp.exp(-jnp.abs(F - llw1)))
+                return jnp.sum((y2 > 0).astype(jnp.float32) * F - lse)
             F = noi1 + pred_row
             return jnp.sum(-0.5 * llw1 * jnp.exp(-2.0 * F) - F)
 
@@ -761,7 +774,7 @@ def fused_draw_unsupported_reason(cfg: BartConfig, pg: PgbartConfig, X,
     p <= 512: the kernel draws split variables by a per-node
     compare-count against the (C*P, p) weight-CDF block; wider X falls
     back to the per-round path."""
-    if lik not in ("gauss", "bernoulli", "het_abs", "het_exp"):
+    if lik not in ("gauss", "bernoulli", "het_abs", "het_exp", "cat_logit"):
         return (f"likelihood is not fused ({lik!r}); no closed-form "
                 "per-row log-likelihood available in-kernel")
     if lik != "bernoulli" and gauss_w is None:

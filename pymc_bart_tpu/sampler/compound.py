@@ -127,6 +127,21 @@ def _fused_likelihood(model: Model, brv: BARTRV, out=None):
             return {"kind": "bernoulli"}
         return None
 
+    if orv.dist is CategoricalDist and out is not None and k > 1:
+        # separate-trees softmax classifier: p = softmax(w.T, axis=-1)
+        # (reference tests/test_bart.py:140-164 pattern).  Each class
+        # forest updates with ll = [y==j] F_j - logaddexp(F_j, logR_j),
+        # logR_j = logsumexp of the other outputs' current values.
+        p_expr = orv.params[0] if orv.params else None
+        if (isinstance(p_expr, Op) and p_expr.fn is _jax.nn.softmax
+                and len(p_expr.args) == 1
+                and isinstance(p_expr.args[0], Op)
+                and getattr(p_expr.args[0], "tag", None) == ("transpose",)
+                and p_expr.args[0].args[0] is brv
+                and p_expr.kwargs.get("axis") in (-1, 1)):
+            return {"kind": "cat_logit"}
+        return None
+
     if orv.dist is not NormalDist or len(orv.params) < 2:
         return None
     mu_expr, sigma_expr = orv.params[0], orv.params[1]
@@ -708,6 +723,16 @@ def sample(
                     mu0 = jnp.asarray(evaluate(fused["mu_expr"], env),
                                       jnp.float32).reshape(-1)
                     gauss_w = ((sd["obs_y"][i] - mu0) ** 2).reshape(n_i, 1)
+                elif lik == "cat_logit":
+                    # class-forest update: row data = logsumexp of the
+                    # OTHER class outputs' current values
+                    from jax.scipy.special import logsumexp as _lse
+
+                    W = internal_now[bs["name"]]          # (n, k)
+                    j = bs["out"]
+                    others = jnp.concatenate([W[:, :j], W[:, j + 1:]],
+                                             axis=1)
+                    gauss_w = _lse(others, axis=1).reshape(n_i, 1)
                 # bernoulli: labels ride Yt; no row data needed
             new_state, vi = pgbart.pgbart_step(
                 keys[i], bart_states[i], sd["X"][i], sd["Yt"][i],

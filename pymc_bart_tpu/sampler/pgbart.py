@@ -357,7 +357,7 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
     fused_gauss = use_pallas and (gauss_w is not None)
     sharded_gauss = data_axis is not None and gauss_w is not None
     # non-Gaussian closed-form codes (kernel-comparable; see draw_pallas)
-    fused_other = lik in ("bernoulli", "het_abs", "het_exp")
+    fused_other = lik in ("bernoulli", "het_abs", "het_exp", "cat_logit")
 
     def eval_ll(pred_all):
         if fused_other:
@@ -369,6 +369,14 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
             elif lik == "het_abs":
                 sg = jnp.abs(F) + lik_const
                 ll_rows = -0.5 * gauss_w[None] / (sg * sg) - jnp.log(sg)
+            elif lik == "cat_logit":
+                # separate-trees softmax class update: growth target > 0
+                # flags this class's rows; gauss_w = logsumexp of the
+                # other outputs' current values
+                y_here = ((resid + sum_noi) > 0).astype(jnp.float32)
+                lse = jnp.maximum(F, gauss_w[None]) + jnp.log1p(
+                    jnp.exp(-jnp.abs(F - gauss_w[None])))
+                ll_rows = y_here[None] * F - lse
             else:  # het_exp
                 ll_rows = -0.5 * gauss_w[None] * jnp.exp(-2.0 * F) - F
             ll_p = jnp.sum(ll_rows, axis=(1, 2))

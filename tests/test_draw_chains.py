@@ -249,3 +249,66 @@ def test_specialized_kernel_matches_general():
     np.testing.assert_array_equal(np.asarray(ws.leaf_sd),
                                   np.asarray(gs.leaf_sd))
     np.testing.assert_array_equal(np.asarray(want[1]), np.asarray(got[1]))
+
+
+def test_megakernel_cat_logit_matches_xla_path(monkeypatch):
+    """Separate-trees softmax class update: megakernel vs XLA path."""
+    monkeypatch.setenv("PYMC_BART_TPU_PALLAS", "0")
+    monkeypatch.setenv("PYMC_BART_TPU_MEGAKERNEL", "0")
+    rng = np.random.default_rng(6)
+    n, p, k = 48, 3, 3
+    X = jnp.asarray(rng.uniform(size=(n, p)).astype(np.float32))
+    labels = rng.integers(0, k, n)
+    # growth target for class 0: +-2 one-hot column
+    Yt = jnp.asarray(4.0 * (labels == 0) - 2.0, jnp.float32)[:, None]
+    # logsumexp of the other classes' current (zero) outputs
+    logR = jnp.full((n, 1), np.log(k - 1.0), jnp.float32)
+    cfg = BartConfig(m=6, max_depth=3)
+    pg = PgbartConfig(num_particles=4, batch=(0.5, 0.5))
+    rules = jnp.zeros(p, jnp.int32)
+    state = pgbart.init_state(X, Yt, cfg)
+    key = jax.random.PRNGKey(12)
+
+    def dummy_loglik(f, params):
+        raise AssertionError("closed form should be used")
+
+    want_state, want_vi = pgbart.pgbart_step(
+        key, state, X, Yt, rules, cfg, pg, dummy_loglik, None, False,
+        gauss_w=logR, lik="cat_logit")
+    got_state, got_vi = pgbart_step_fused(
+        key, state, X, Yt, rules, cfg, pg, logR, False,
+        rng_mode="reference", lik="cat_logit")
+    np.testing.assert_array_equal(np.asarray(want_state.forest.split_var),
+                                  np.asarray(got_state.forest.split_var))
+    np.testing.assert_array_equal(np.asarray(want_vi), np.asarray(got_vi))
+    np.testing.assert_allclose(np.asarray(want_state.sum_trees),
+                               np.asarray(got_state.sum_trees),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_categorical_separate_trees_e2e():
+    """Separate-trees softmax classifier end-to-end: the fused cat_logit
+    entries must be detected and the classes recovered."""
+    import pymc_bart_tpu as pmb
+    from pymc_bart_tpu.sampler.compound import _fused_likelihood
+
+    rng = np.random.default_rng(7)
+    n, n_class = 90, 3
+    X = rng.normal(size=(n, 3)).astype(np.float32)
+    logits = np.stack([2 * X[:, 0], 2 * X[:, 1], -X[:, 0] - X[:, 1]], axis=1)
+    Y = np.array([rng.choice(n_class, p=np.exp(l) / np.exp(l).sum())
+                  for l in logits]).astype(np.float32)
+
+    with pmb.Model() as model:
+        lo = pmb.BART("lo", X, Y, m=8, shape=(n_class, n),
+                      separate_trees=True)
+        pmb.Categorical("y", p=pmb.math.softmax(lo.T, axis=-1), observed=Y)
+        for j in range(n_class):
+            det = _fused_likelihood(model, lo, out=j)
+            assert det is not None and det["kind"] == "cat_logit", det
+        idata = pmb.sample(tune=120, draws=120, chains=1, random_seed=2,
+                           batch=(0.5, 0.5))
+
+    post = idata.posterior["lo"].values.mean(axis=(0, 1))  # (3, n)
+    acc = float((post.argmax(axis=0) == Y).mean())
+    assert acc > 0.6, acc
