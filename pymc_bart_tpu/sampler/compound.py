@@ -43,12 +43,15 @@ def _expr_leaf_names(x, acc=None):
 
 
 def _match_getitem(expr, brv):
-    """If ``expr`` is ``brv[i]`` (tagged getitem), return the int index."""
+    """If ``expr`` is ``brv[i]`` (tagged getitem), return the int index.
+
+    Tags are variable-length tuples — e.g. ``.T`` tags ``("transpose",)``
+    — so guard the arity before unpacking."""
     if isinstance(expr, Op) and getattr(expr, "tag", None) is not None:
-        kind, key = expr.tag
-        if (kind == "getitem" and len(expr.args) == 1
-                and expr.args[0] is brv and isinstance(key, int)):
-            return key
+        tag = expr.tag
+        if (len(tag) == 2 and tag[0] == "getitem" and len(expr.args) == 1
+                and expr.args[0] is brv and isinstance(tag[1], int)):
+            return tag[1]
     return None
 
 
@@ -589,26 +592,29 @@ def sample(
                      fused=_fused_likelihood(model, brv))
             )
 
-    # fast-path telemetry: on TPU, say WHY a forest leaves the megakernel
-    # fast path instead of silently running several-x slower (weak #4)
-    if jax.default_backend() == "tpu":
-        import warnings as _warnings
+    # fast-path telemetry: say WHY a forest leaves the megakernel fast
+    # path instead of silently running several-x slower.  Warns on every
+    # backend (a near-miss model otherwise loses both the megakernel and
+    # row-sharding eligibility without any signal on CPU dev runs).
+    import warnings as _warnings
 
-        from ..ops.draw_pallas import fused_draw_unsupported_reason
+    from ..ops.draw_pallas import fused_draw_unsupported_reason
 
-        for bs in bart_static:
-            kind = bs["fused"]["kind"] if bs["fused"] is not None else "custom"
-            gw_probe = (jnp.ones((bs["X"].shape[0], bs["cfg"].n_outputs))
-                        if kind != "bernoulli" else None)
-            reason = fused_draw_unsupported_reason(
-                bs["cfg"], bs["pg"], bs["X"], gw_probe, lik=kind)
-            if reason is not None:
-                tag = bs["name"] + (
-                    f"[{bs['out']}]" if bs["out"] is not None else "")
-                _warnings.warn(
-                    f"BART variable {tag!r} falls back to the per-round "
-                    f"sampler path (slower than the fused whole-draw "
-                    f"kernel): {reason}", stacklevel=2)
+    on_tpu = jax.default_backend() == "tpu"
+    for bs in bart_static:
+        kind = bs["fused"]["kind"] if bs["fused"] is not None else "custom"
+        gw_probe = (jnp.ones((bs["X"].shape[0], bs["cfg"].n_outputs))
+                    if kind != "bernoulli" else None)
+        reason = fused_draw_unsupported_reason(
+            bs["cfg"], bs["pg"], bs["X"], gw_probe, lik=kind)
+        if reason is not None:
+            tag = bs["name"] + (
+                f"[{bs['out']}]" if bs["out"] is not None else "")
+            verb = "falls back" if on_tpu else "would fall back on TPU"
+            _warnings.warn(
+                f"BART variable {tag!r} {verb} to the per-round "
+                f"sampler path (slower than the fused whole-draw "
+                f"kernel): {reason}", stacklevel=2)
 
     theta0 = compiled.initial_theta()
     n_bart = len(bart_static)
@@ -1068,18 +1074,25 @@ def sample(
     # it forces the serial path.
     overlap = checkpoint_dir is None
     pending = None
+    # chunk plan: overlap mode always runs FULL-SIZE chunks (a shorter
+    # final chunk would be a second jit compile of the whole draw
+    # program — far more expensive than the few discarded draws) and
+    # truncates the final chunk's outputs.  Checkpoint mode instead uses
+    # even chunks (at most two sizes, like tuning): the carry must never
+    # advance past the recorded step, or resuming with a larger
+    # ``draws`` would replay key indices the carry already consumed.
+    if overlap:
+        chunk_plan = [chunk_size] * -(-max(draws - t, 0) // chunk_size)
+    else:
+        chunk_plan = [c for c in _even_chunks(draws - t, chunk_size) if c]
     try:
-        while t < draws:
-            c = min(chunk_size, draws - t)
+        for c in chunk_plan:
             chunk_t0 = time.perf_counter()
-            # always run FULL-SIZE chunks (a shorter final chunk would be
-            # a second jit compile of the whole draw program — far more
-            # expensive than the few discarded draws)
-            carry, outs = jit_draw(carry, chunk_keys(1, t, chunk_size),
-                                   sd_full)
-            if c < chunk_size:
+            carry, outs = jit_draw(carry, chunk_keys(1, t, c), sd_full)
+            kept = min(c, draws - t)
+            if kept < c:
                 scan_o, snap0_o = outs
-                scan_o = jax.tree.map(lambda a: a[:, :c], scan_o)
+                scan_o = jax.tree.map(lambda a: a[:, :kept], scan_o)
                 outs = (scan_o, snap0_o)
             if overlap:
                 if pending is not None:
@@ -1092,9 +1105,13 @@ def sample(
                 ckpt_mod.save_draw_chunk(checkpoint_dir, tune + t + c,
                                          host_outs)
             if timings is not None:
+                # NOTE: in overlap mode chunk k's entry measures chunk
+                # k's async dispatch plus chunk k-1's host drain; the
+                # per-chunk numbers are only meaningful in aggregate
+                # (the final entry is patched with the last drain below)
                 timings["draw_chunk_seconds"].append(
                     time.perf_counter() - chunk_t0)
-                timings["draw_chunk_sizes"].append(c)
+                timings["draw_chunk_sizes"].append(kept)
             t += c
             if progressbar:
                 rate = (t - start_draw) * chains / max(

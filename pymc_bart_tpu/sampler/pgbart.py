@@ -125,18 +125,183 @@ def init_state(X, Y_target, cfg: BartConfig, split_prior=None,
 def _child_stats(leaf_idx, resid, lo: int, width: int, data_axis=None):
     """Counts and residual sums for node slots [lo, lo+width).
 
+    O(n) via ``segment_sum`` — the round-3 implementation materialized an
+    (n, width) one-hot and einsummed it, which at the large-n bench shape
+    (n=50k, P=20 vmapped particles, width up to 64) moved hundreds of MB
+    of HBM per growth round and made the XLA fallback slower than CPU
+    (round-3 VERDICT item 1b).  Rows outside the slot range land in a
+    dump segment.
+
     With ``data_axis`` set (rows sharded over a mesh axis inside
     shard_map), the sufficient statistics are psum-reduced over the row
     shards (SURVEY 2.4 "data parallelism over rows").
     """
-    slots = lo + jnp.arange(width, dtype=jnp.int32)
-    onehot = (leaf_idx[:, None] == slots[None, :]).astype(jnp.float32)
-    counts = onehot.sum(axis=0)
-    sums = jnp.einsum("nw,nk->wk", onehot, resid, preferred_element_type=jnp.float32)
+    valid = (leaf_idx >= lo) & (leaf_idx < lo + width)
+    ids = jnp.where(valid, leaf_idx - lo, width)
+    counts = jax.ops.segment_sum(
+        valid.astype(jnp.float32), ids, num_segments=width + 1)[:width]
+    sums = jax.ops.segment_sum(
+        jnp.where(valid[:, None], resid, 0.0), ids,
+        num_segments=width + 1)[:width]
     if data_axis is not None:
         counts = jax.lax.psum(counts, data_axis)
         sums = jax.lax.psum(sums, data_axis)
     return counts, sums
+
+
+def _grow_round_const(rands, frozen, sv, sl, st, lf, ct, leaf_idx, pred,
+                      d: int, X_z, x_nanm, rules, alpha_cdf, leaf_sd, resid,
+                      cfg: BartConfig, data_axis=None, all_cont: bool = False,
+                      x_nan: bool = True):
+    """One depth-synchronous growth round, constant leaf response,
+    GATHER-FREE in row space.
+
+    TPU profile note (v5e, n=50k): per-row dynamic gathers
+    (``take_along_axis``, ``leaf[idx]``) and ``segment_max`` cost ~5 ms
+    each at this shape while fused masked reductions, ``segment_sum``
+    and small matmuls cost ~0.05 ms — so this formulation expresses all
+    row-space work as masked blends over the level's G nodes, one
+    (n, p)x(p, G) matmul for per-node x columns, and ``segment_sum``
+    sufficient statistics.  It also carries per-row predictions
+    incrementally (rows that route take their child's leaf value), so
+    the caller never re-derives predictions via gathers.
+
+    Semantically identical to ``_grow_round`` (same RNG consumption,
+    same winner row, same committed state) — equivalence is covered by
+    the megakernel bit-comparability tests.  Returns updated
+    ``(sv, sl, st, lf, ct, leaf_idx, pred)``.
+    """
+    n, p = X_z.shape
+    lo, hi = 2**d - 1, 2 ** (d + 1) - 1
+    G = hi - lo
+
+    node_sv = sv[lo:hi]
+    is_leaf = node_sv < 0
+    alive = ct[lo:hi] >= 2.0
+    p_grow = cfg.alpha * (1.0 + d) ** (-cfg.beta)
+    want_grow = (rands["u_grow"] < p_grow) & is_leaf & alive & (~frozen)
+
+    u_var = rands["u_var"] * alpha_cdf[-1]
+    var_s = jnp.clip(jnp.searchsorted(alpha_cdf, u_var), 0, p - 1).astype(jnp.int32)
+
+    # per-node Gumbel winner via fused masked reductions (no segment_max)
+    row_gum = rands["row_gum"]
+    in_lvl = (leaf_idx >= lo) & (leaf_idx < hi)
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+    node_masks = [in_lvl & (leaf_idx == lo + g) for g in range(G)]
+    neg = jnp.float32(-jnp.inf)
+    mx = jnp.stack([jnp.max(jnp.where(m, row_gum, neg)) for m in node_masks])
+    # first row attaining its node's max (ties null for continuous Gumbels)
+    row_sel = jnp.stack([
+        jnp.min(jnp.where(m & (row_gum >= mx[g]), iota_n, n))
+        for g, m in enumerate(node_masks)])
+    rs_c = jnp.clip(row_sel, 0, n - 1)
+    val_s = X_z[rs_c, var_s]                       # (G,) tiny gather
+    if x_nan:
+        val_s = jnp.where(x_nanm[rs_c, var_s], jnp.nan, val_s)
+    val_s = jnp.where(jnp.isfinite(mx), val_s, jnp.nan)
+    if data_axis is not None:
+        # global winner: the shard holding the max Gumbel contributes
+        # the value (cross-shard ties are null; a NaN winner value
+        # rides the psum as NaN + 0 = NaN on every shard)
+        g_mx = jax.lax.pmax(mx, data_axis)
+        owner = (mx >= g_mx) & jnp.isfinite(g_mx)
+        val_s = jax.lax.psum(jnp.where(owner, val_s, 0.0), data_axis)
+        val_s = jnp.where(jnp.isfinite(g_mx), val_s, jnp.nan)
+
+    if all_cont:
+        st_s = st[lo:hi]
+    else:
+        own_cat = jnp.clip(jnp.nan_to_num(val_s, nan=0.0).astype(jnp.int32), 0, 31)
+        st_s = rands["set_bits"] | (jnp.uint32(1) << own_cat.astype(jnp.uint32))
+
+    varx = jnp.where(frozen, node_sv, var_s)
+    varx_c = jnp.clip(varx, 0, p - 1)
+    valx = jnp.where(frozen, sl[lo:hi], val_s)
+    active = jnp.where(frozen, node_sv >= 0, want_grow)
+
+    # candidate x value per (row, node) in ONE MXU matmul, then G-term
+    # masked blends collapse per-node params onto rows
+    M = (jnp.arange(p, dtype=jnp.int32)[None, :]
+         == varx_c[:, None]).astype(jnp.float32)   # (G, p)
+    xv_nodes = X_z @ M.T                           # (n, G)
+    if x_nan:
+        xnan_nodes = x_nanm.astype(jnp.float32) @ M.T
+
+    valx_clean = jnp.nan_to_num(valx, nan=0.0)
+    valx_isnan = jnp.isnan(valx)
+    xv_clean = jnp.zeros((n,), jnp.float32)
+    val_row = jnp.zeros((n,), jnp.float32)
+    act_row = jnp.zeros((n,), bool)
+    xnan_row = jnp.zeros((n,), jnp.float32) if x_nan else None
+    vnan_row = jnp.zeros((n,), bool) if x_nan else None
+    if not all_cont:
+        set_row = jnp.zeros((n,), jnp.uint32)
+        rule_row = jnp.zeros((n,), jnp.int32)
+        rule_g = rules[varx_c]                     # (G,) tiny gather
+        setx = jnp.where(frozen, st[lo:hi], st_s)
+    for g, m in enumerate(node_masks):
+        mf = m.astype(jnp.float32)
+        xv_clean = xv_clean + mf * xv_nodes[:, g]
+        val_row = val_row + mf * valx_clean[g]
+        act_row = act_row | (m & active[g])
+        if x_nan:
+            xnan_row = xnan_row + mf * xnan_nodes[:, g]
+            vnan_row = vnan_row | (m & valx_isnan[g])
+        if not all_cont:
+            set_row = set_row | jnp.where(m, setx[g], jnp.uint32(0))
+            rule_row = rule_row + jnp.where(m, rule_g[g], 0)
+    if x_nan:
+        xv = jnp.where(xnan_row > 0.5, jnp.nan, xv_clean)
+        val_row = jnp.where(vnan_row, jnp.nan, val_row)
+    else:
+        xv = xv_clean
+    if all_cont:
+        left = xv <= val_row                       # NaN -> False -> right
+    else:
+        left = decide_left(xv, val_row, set_row, rule_row)
+    child = 2 * leaf_idx + 1 + (1 - left.astype(jnp.int32))
+    tentative = jnp.where(act_row, child, leaf_idx)
+
+    ccounts, csums = _child_stats(tentative, resid, hi, 2 * G, data_axis)
+    cl, cr = ccounts[0::2], ccounts[1::2]
+    valid = (cl > 0) & (cr > 0)
+    grow_ok = want_grow & valid
+    active_final = jnp.where(frozen, node_sv >= 0, grow_ok)
+    actf_row = jnp.zeros((n,), bool)
+    for g, m in enumerate(node_masks):
+        actf_row = actf_row | (m & active_final[g])
+    leaf_idx_new = jnp.where(actf_row, child, leaf_idx)
+
+    sv = sv.at[lo:hi].set(jnp.where(grow_ok, var_s, node_sv))
+    sl = sl.at[lo:hi].set(jnp.where(grow_ok, val_s, sl[lo:hi]))
+    if not all_cont:
+        st = st.at[lo:hi].set(jnp.where(grow_ok, st_s, st[lo:hi]))
+
+    eps = rands["eps"]
+    c_safe = jnp.maximum(ccounts, 1.0)[:, None]
+    mu = csums / c_safe / cfg.m + eps * leaf_sd[None, :]
+    parent_ok = jnp.repeat(grow_ok, 2)
+    ct = ct.at[hi:hi + 2 * G].set(
+        jnp.where(parent_ok, ccounts, ct[hi:hi + 2 * G]))
+    lf = lf.at[hi:hi + 2 * G].set(
+        jnp.where(parent_ok[:, None], mu, lf[hi:hi + 2 * G]))
+
+    # incremental prediction: routed rows take their child's leaf value
+    # (for the frozen particle the stored children values; lf for grown
+    # nodes now holds mu).  Internal-node leaf values being retained
+    # makes this the depth-truncated prediction round by round.
+    lf_ch = lf[hi:hi + 2 * G]                      # (2G, k)
+    k = lf.shape[-1]
+    lval = jnp.zeros((n, k), jnp.float32)
+    rval = jnp.zeros((n, k), jnp.float32)
+    for g, m in enumerate(node_masks):
+        mf = m.astype(jnp.float32)[:, None]
+        lval = lval + mf * lf_ch[2 * g][None, :]
+        rval = rval + mf * lf_ch[2 * g + 1][None, :]
+    cv = jnp.where(left[:, None], lval, rval)
+    pred_new = jnp.where(actf_row[:, None], cv, pred)
+    return sv, sl, st, lf, ct, leaf_idx_new, pred_new
 
 
 def _grow_round(rands, frozen, sv, sl, st, lf, ct, sp, leaf_idx, d: int, X,
@@ -161,8 +326,6 @@ def _grow_round(rands, frozen, sv, sl, st, lf, ct, sp, leaf_idx, d: int, X,
     n, p = X.shape
     lo, hi = 2**d - 1, 2 ** (d + 1) - 1
     G = hi - lo
-    slots = lo + jnp.arange(G, dtype=jnp.int32)
-
     node_sv = sv[lo:hi]
     is_leaf = node_sv < 0
     alive = ct[lo:hi] >= 2.0
@@ -175,20 +338,33 @@ def _grow_round(rands, frozen, sv, sl, st, lf, ct, sp, leaf_idx, d: int, X,
     var_s = jnp.clip(jnp.searchsorted(alpha_cdf, u_var), 0, p - 1).astype(jnp.int32)
 
     # split value: a uniformly random row among rows in the node.  Rows
-    # partition across nodes, so one Gumbel per row serves every node.
+    # partition across nodes, so one Gumbel per row serves every node;
+    # the winner is found with O(n) segment reductions (the round-3
+    # (n, G) score matrix was the other large-n HBM hog).
     row_gum = rands["row_gum"]
-    in_node = leaf_idx[:, None] == slots[None, :]
-    scores = jnp.where(in_node, row_gum[:, None], -jnp.inf)
-    row_sel = jnp.argmax(scores, axis=0).astype(jnp.int32)
-    val_s = X[row_sel, var_s]
+    in_lvl = (leaf_idx >= lo) & (leaf_idx < hi)
+    g_ids = jnp.where(in_lvl, leaf_idx - lo, G)
+    seg_max = jax.ops.segment_max(
+        jnp.where(in_lvl, row_gum, -jnp.inf), g_ids,
+        num_segments=G + 1)[:G]
     if data_axis is not None:
-        # global winner: the shard holding the max Gumbel contributes
-        # the value (continuous Gumbels make cross-shard ties null)
-        my_max = jnp.max(scores, axis=0)                       # (G,)
-        g_max = jax.lax.pmax(my_max, data_axis)
-        owner = (my_max >= g_max) & jnp.isfinite(g_max)
-        val_s = jax.lax.psum(jnp.where(owner, val_s, 0.0), data_axis)
-        val_s = jnp.where(jnp.isfinite(g_max), val_s, jnp.nan)
+        # continuous Gumbels make cross-shard ties null: exactly one
+        # shard's row attains the global per-node max
+        seg_max = jax.lax.pmax(seg_max, data_axis)
+    g_clip = jnp.clip(g_ids, 0, G - 1)
+    var_row = var_s[g_clip]                                   # (n,)
+    xval_row = jnp.take_along_axis(X, var_row[:, None], axis=1)[:, 0]
+    is_win = in_lvl & (row_gum >= seg_max[g_clip])
+    nwin = jax.ops.segment_sum(
+        is_win.astype(jnp.float32), g_ids, num_segments=G + 1)[:G]
+    val_sum = jax.ops.segment_sum(
+        jnp.where(is_win, xval_row, 0.0), g_ids,
+        num_segments=G + 1)[:G]
+    if data_axis is not None:
+        nwin = jax.lax.psum(nwin, data_axis)
+        val_sum = jax.lax.psum(val_sum, data_axis)
+    val_s = val_sum / jnp.maximum(nwin, 1.0)
+    val_s = jnp.where(jnp.isfinite(seg_max), val_s, jnp.nan)
     # subset-rule bitmask: random categories, always including the
     # selected row's own category so the left child is non-empty.
     own_cat = jnp.clip(jnp.nan_to_num(val_s, nan=0.0).astype(jnp.int32), 0, 31)
@@ -303,7 +479,8 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
                      X, rules, cfg: BartConfig, pg: PgbartConfig,
                      loglik_fn: Callable, lik_params, gauss_w=None,
                      data_axis=None, lik: str = "gauss",
-                     lik_const: float = 0.0):
+                     lik_const: float = 0.0, all_cont: bool = False,
+                     x_nan: bool = True):
     """Run the conditional SMC for a single tree; return (new tree, pred).
 
     ``data_axis``: mesh axis name when rows are sharded (X/resid/gauss_w
@@ -392,7 +569,15 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
             return jax.lax.psum(local, data_axis)
         return jax.vmap(lambda f: loglik_fn(sum_noi + f, lik_params))(pred_all)
 
-    pred = jax.vmap(particle_pred)(sv, lf, sp, leaf_idx)
+    const_resp = cfg.response == "constant"
+    if const_resp:
+        # all rows sit at the root: prediction = root leaf value (the
+        # gather-free growth rounds then carry pred incrementally)
+        pred = jnp.broadcast_to(lf[:, 0:1, :], (P, n, k))
+        X_z = jnp.where(jnp.isnan(X), 0.0, X) if x_nan else X
+        x_nanm = jnp.isnan(X)
+    else:
+        pred = jax.vmap(particle_pred)(sv, lf, sp, leaf_idx)
     ll = eval_ll(pred)
     log_w = ll
     ll_prev = ll
@@ -448,6 +633,15 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
                 d=d, cfg=cfg,
             )
             take = jnp.arange(P, dtype=jnp.int32)
+        elif const_resp:
+            ll_k = None
+            sv, sl, st, lf, ct, leaf_idx, pred = jax.vmap(
+                lambda r_, fz, a, b, c, e, f_, g_, pr: _grow_round_const(
+                    r_, fz, a, b, c, e, f_, g_, pr, d, X_z, x_nanm, rules,
+                    alpha_cdf, leaf_sd, resid, cfg, data_axis=data_axis,
+                    all_cont=all_cont, x_nan=x_nan
+                )
+            )(rands, frozen, sv, sl, st, lf, ct, leaf_idx, pred)
         else:
             ll_k = None
             sv, sl, st, lf, ct, sp, leaf_idx = jax.vmap(
@@ -559,10 +753,21 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
         ll_c0 = ll_one(pred_w) + lp_of(lf_w)
         eps_scale = 0.3 * leaf_sd
 
+        if const_resp:
+            # one-hot matmul instead of a per-row gather (per-row gathers
+            # cost ~5 ms at n=50k on TPU; the (n, S) one-hot is built once
+            # per tree and each refinement is a single MXU matmul)
+            soh_w = (li_w[:, None]
+                     == jnp.arange(S, dtype=jnp.int32)[None, :]
+                     ).astype(jnp.float32)
+            pred_from_leaves = lambda lf_x: soh_w @ lf_x
+        else:
+            pred_from_leaves = lambda lf_x: lf_x[li_w]
+
         def refine_body(r_i, carry):
             lf_c, pred_c, ll_c = carry
             lf_p = lf_c + eps_r[r_i].T * eps_scale[None, :] * leaf_mask
-            pred_p = lf_p[li_w]
+            pred_p = pred_from_leaves(lf_p)
             ll_p = ll_one(pred_p) + lp_of(lf_p)
             accept = jnp.log(u_acc[r_i]) < (ll_p - ll_c)
             lf_c = jnp.where(accept, lf_p, lf_c)
@@ -618,12 +823,21 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
 
         ll_w = one_ll(pred_w) + log_prior(lf_w)
 
+        if const_resp:
+            soh_w = (li_w[:, None]
+                     == jnp.arange(S, dtype=jnp.int32)[None, :]
+                     ).astype(jnp.float32)
+            pred_from_leaves = lambda lf_x: soh_w @ lf_x
+        else:
+            pred_from_leaves = lambda lf_x: leaf_values_at(
+                sv_w, lf_x, sp_w, X, li_w)
+
         def refine_body(_r, carry):
             lf_c, pred_c, ll_c, key_c = carry
             key_c, k_eps, k_acc = jax.random.split(key_c, 3)
             eps = jax.random.normal(k_eps, lf_c.shape) * (0.3 * leaf_sd)[None, :]
             lf_p = lf_c + eps * leaf_mask
-            pred_p = leaf_values_at(sv_w, lf_p, sp_w, X, li_w)
+            pred_p = pred_from_leaves(lf_p)
             ll_p = one_ll(pred_p) + log_prior(lf_p)
             accept = jnp.log(jax.random.uniform(k_acc, ())) < (ll_p - ll_c)
             lf_c = jnp.where(accept, lf_p, lf_c)
@@ -723,6 +937,7 @@ def pgbart_step(key, state: PgbartState, X, Y_target, rules,
             k_tree, tree, sum_noi, resid, alpha_vec, leaf_sd,
             X, rules, cfg, pg, loglik_fn, lik_params, gauss_w=gauss_w,
             data_axis=data_axis, lik=lik, lik_const=lik_const,
+            all_cont=all_cont, x_nan=x_nan,
         )
         forest = Forest(
             forest.split_var.at[jt].set(new_tree.split_var),
