@@ -14,7 +14,7 @@ the 5 configs, through the user entry point.  This bench runs:
   4. heterosced    — shape=(2, n) mean+scale forests (separate_trees;
                      fused gauss + het_abs megakernels)
   5. highdim       — p=1000 sparse variable selection (+ split-prior
-                     decay); p > 512 falls off the megakernel by design
+                     decay); rides the megakernel via the chunked p<=2048 CDF
   6. large_n       — n=50k rows (every Pallas path VMEM-gated off; XLA path)
 
 Steady-state rate = draws after the first chunk (the first draw chunk

@@ -32,9 +32,11 @@ Round-3 generalizations over the round-2 kernel:
   ``"het_exp"``    : y ~ Normal(mu0, exp(F));  row data = (y - mu0)^2
   (the het codes are the separate-trees scale-forest update of the
   heteroscedastic config — BASELINE config 4; bernoulli is config 3).
-* p <= 512: split variables are drawn by a per-node compare-count of
-  the weight CDF against a (C*P, p) block (the round-2 kernel used a
-  p-step scalar loop and gated at p <= 32).
+* p <= 2048: split variables are drawn by a per-node compare-count of
+  the weight CDF against a (C*P, p) block; the CDF itself is computed
+  by 512-wide chunked lower-triangular matmuls so the p=1000
+  variable-selection config (BASELINE config 5) rides the megakernel
+  (the round-2 kernel used a p-step scalar loop and gated at p <= 32).
 
 Randomness: "reference" replicates ``_update_one_tree``'s exact
 per-tree key-split sequence (bit-comparable equivalence tests);
@@ -175,8 +177,12 @@ def _draw_kernel(
     cPP = jax.lax.broadcasted_iota(jnp.int32, (CP, CP), 1)
     sameblock = (rPP // P) == (cPP // P)
     lt_CP = ((rPP <= cPP) & sameblock).astype(jnp.float32)
-    lt_p = (jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
-            <= jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)).astype(jnp.float32)
+    if p <= 512:
+        lt_p = (jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
+                <= jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
+                ).astype(jnp.float32)
+    else:
+        lt_p = None  # chunked CDF below avoids the (p, p) materialization
 
     def mm(a, b):  # (r, c) @ (c, z) on the MXU
         return jax.lax.dot_general(
@@ -228,7 +234,25 @@ def _draw_kernel(
         noi_e = mm(E, sum_noi_C)
 
     av = jnp.maximum(av_o[:, :], 1e-12)             # (C, p)
-    cdf_C = mm(av, lt_p)                            # (C, p)
+    if lt_p is not None:
+        cdf_C = mm(av, lt_p)                        # (C, p)
+    else:
+        # chunked inclusive cumsum: per 512-wide chunk a (C, w)@(w, w)
+        # lower-triangular matmul plus the running total of earlier
+        # chunks — avoids the (p, p) VMEM block that capped p at 512
+        # (round-3 VERDICT item 2: BASELINE config 5 is p=1000)
+        parts = []
+        run = jnp.zeros((C, 1), jnp.float32)
+        for s0 in range(0, p, 512):
+            e0 = min(s0 + 512, p)
+            w0 = e0 - s0
+            lt_w = (jax.lax.broadcasted_iota(jnp.int32, (w0, w0), 0)
+                    <= jax.lax.broadcasted_iota(jnp.int32, (w0, w0), 1)
+                    ).astype(jnp.float32)
+            blk = av[:, s0:e0]
+            parts.append(mm(blk, lt_w) + run)
+            run = run + jnp.sum(blk, axis=1, keepdims=True)
+        cdf_C = jnp.concatenate(parts, axis=1)      # (C, p)
     cdf_e = mm(E, cdf_C)                            # (CP, p)
     total_col = jnp.sum(
         cdf_e * (iota_p_row == p - 1).astype(jnp.float32),
@@ -392,7 +416,7 @@ def _draw_kernel(
             cnt = jnp.sum(mask_f, axis=1, keepdims=True)   # (CP, 1)
 
             # split variable ~ categorical(alpha_vec): count CDF entries
-            # below the uniform (works to p = 512; the round-2 kernel's
+            # below the uniform (works to p = 2048; the round-2 kernel's
             # p-step scalar loop capped p at 32)
             u_node = ext_f(uv_lvl, gmask) * total_col      # (CP, 1)
             cnt_var = jnp.sum((cdf_e < u_node).astype(jnp.int32),
@@ -771,9 +795,9 @@ def fused_draw_unsupported_reason(cfg: BartConfig, pg: PgbartConfig, X,
     else a human-readable reason for the fallback (surfaced by
     ``sample()`` so users know when they left the fast path).
 
-    p <= 512: the kernel draws split variables by a per-node
-    compare-count against the (C*P, p) weight-CDF block; wider X falls
-    back to the per-round path."""
+    p <= 2048: the kernel draws split variables by a per-node
+    compare-count against the (C*P, p) weight-CDF block (chunked
+    cumsum); wider X falls back to the per-round path."""
     if lik not in ("gauss", "bernoulli", "het_abs", "het_exp", "cat_logit"):
         return (f"likelihood is not fused ({lik!r}); no closed-form "
                 "per-row log-likelihood available in-kernel")
@@ -787,8 +811,9 @@ def fused_draw_unsupported_reason(cfg: BartConfig, pg: PgbartConfig, X,
                 "separate_trees=True to give each output its own fused "
                 "forest)")
     n, p = X.shape
-    if p > 512:
-        return f"p={p} covariates (megakernel CDF search covers p <= 512)"
+    if p > 2048:
+        return (f"p={p} covariates (megakernel chunked-CDF search covers "
+                "p <= 2048)")
     if n * p > 2_000_000:
         return f"X size n*p={n * p} exceeds the 2M-element VMEM budget"
     # the per-tree row-Gumbel block must fit VMEM comfortably (per chain;

@@ -120,3 +120,39 @@ def test_supported_gate():
     assert not fused_draw_supported(cfg2, pg, X, gauss_w)
     cfg3 = BartConfig(m=6, max_depth=3, n_outputs=2)
     assert not fused_draw_supported(cfg3, pg, X, gauss_w)
+
+
+def test_megakernel_chunked_cdf_p600(monkeypatch):
+    """p > 512 rides the chunked-CDF megakernel path; bit-comparable to
+    the kernel-aligned XLA bernoulli branch (the gauss XLA branch uses
+    Gumbel categorical winner selection and is not bit-comparable)."""
+    monkeypatch.setenv("PYMC_BART_TPU_PALLAS", "0")
+    monkeypatch.setenv("PYMC_BART_TPU_MEGAKERNEL", "0")
+    rng = np.random.default_rng(0)
+    n, p, m = 48, 600, 4
+    X = jnp.asarray(rng.uniform(size=(n, p)).astype(np.float32))
+    Y = jnp.asarray(
+        (rng.random(n) < 1 / (1 + np.exp(-3 * (np.asarray(X[:, 0]) - 0.5))))
+        .astype(np.float32))[:, None]
+    cfg = BartConfig(m=m, max_depth=3)
+    pg = PgbartConfig(num_particles=4, batch=(0.5, 0.5))
+    rules = jnp.zeros(p, jnp.int32)
+    state = pgbart.init_state(X, Y, cfg)
+    key = jax.random.PRNGKey(1)
+    want, want_vi = pgbart.pgbart_step(
+        key, state, X, Y, rules, cfg, pg, lambda f, q: jnp.zeros(()), None,
+        True, gauss_w=None, lik="bernoulli")
+    got, got_vi = pgbart_step_fused(
+        key, state, X, Y, rules, cfg, pg, None, True,
+        rng_mode="reference", lik="bernoulli")
+    np.testing.assert_array_equal(np.asarray(want.forest.split_var),
+                                  np.asarray(got.forest.split_var))
+    np.testing.assert_array_equal(np.asarray(want_vi), np.asarray(got_vi))
+    np.testing.assert_allclose(np.asarray(want.forest.leaf),
+                               np.asarray(got.forest.leaf),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(want.sum_trees),
+                               np.asarray(got.sum_trees),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(want.alpha_vec),
+                               np.asarray(got.alpha_vec))
