@@ -15,7 +15,7 @@ the 5 configs, through the user entry point.  This bench runs:
                      fused gauss + het_abs megakernels)
   5. highdim       — p=1000 sparse variable selection (+ split-prior
                      decay); rides the megakernel via the chunked p<=2048 CDF
-  6. large_n       — n=50k rows (every Pallas path VMEM-gated off; XLA path)
+  6. large_n       — n=50k rows (row-tiled big-n kernel, ops/bign_pallas)
 
 Steady-state rate = draws after the first chunk (the first draw chunk
 carries the draw-program compile); the tune phase warms the tune
@@ -268,10 +268,10 @@ def config_highdim(n=200, p=1000, m=50, chains=2, tune=150, draws=100):
                       split_prior_decay=0.999)
 
 
-def config_large_n(n=50_000, p=10, m=20, chains=2, tune=40, draws=80):
-    # n is VMEM-gated off every Pallas path by design (the XLA sampler
-    # path handles it); chains=2 keeps the vmapped per-particle
-    # intermediates comfortably inside HBM at this n
+def config_large_n(n=50_000, p=10, m=20, chains=2, tune=200, draws=400):
+    # rides the row-tiled big-n kernel (sufficient-statistics PGBART);
+    # the budget was raised from 40/80 once the row went from 0.2 to
+    # ~100 chain-draws/s so the quality/ESS numbers are real
     X, Y, f_true = friedman(n, p, seed=5)
 
     def model(pmb):
@@ -305,8 +305,12 @@ def main():
                           row["chain_draws_per_s"]}))
         return
 
+    only = os.environ.get("BENCH_ONLY")  # dev aid: comma-sep config names
     env = dict(os.environ, _BENCH_CHILD="cpu")
-    try:
+    if only:
+        cpu_rate = None
+    else:
+      try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, timeout=3600,
@@ -314,7 +318,7 @@ def main():
         cpu_line = [ln for ln in out.stdout.splitlines()
                     if ln.startswith("{")][-1]
         cpu_rate = json.loads(cpu_line)["cpu_chain_draws_per_s"]
-    except Exception as e:  # noqa: BLE001
+      except Exception as e:  # noqa: BLE001
         print(f"# cpu baseline failed: {e}", file=sys.stderr)
         cpu_rate = None
 
@@ -324,6 +328,8 @@ def main():
     rows = []
     for fn in (config_friedman, config_bikes, config_logistic,
                config_heteroscedastic, config_highdim, config_large_n):
+        if only and fn.__name__.replace("config_", "") not in only.split(","):
+            continue
         try:
             row = fn()
         except Exception as e:  # noqa: BLE001
@@ -343,9 +349,10 @@ def main():
         "cpu_chain_draws_per_s": cpu_rate,
         "configs": rows,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_FULL.json"), "w") as fh:
-        json.dump(result, fh, indent=1)
+    if not only:  # a filtered dev run must not clobber the full matrix
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_FULL.json"), "w") as fh:
+            json.dump(result, fh, indent=1)
 
     print(json.dumps({
         "metric": "friedman_m50_n1000 end-to-end chain-draws/s/chip "

@@ -608,8 +608,17 @@ def sample(
         reason = fused_draw_unsupported_reason(
             bs["cfg"], bs["pg"], bs["X"], gw_probe, lik=kind)
         if reason is not None:
+            from ..ops.bign_pallas import bign_supported_reason
+
             tag = bs["name"] + (
                 f"[{bs['out']}]" if bs["out"] is not None else "")
+            # the row-tiled big-n kernel may still cover it (scalar-sigma
+            # Gaussian models): then this is informational, not a slowdown
+            bign_reason = bign_supported_reason(
+                bs["cfg"], bs["pg"], bs["X"], kind, True,
+                bs["all_cont"], bs["x_nan"], C_hint=chains)
+            if bign_reason is None and kind == "gauss":
+                continue  # rides the big-n kernel when sigma is scalar
             verb = "falls back" if on_tpu else "would fall back on TPU"
             _warnings.warn(
                 f"BART variable {tag!r} {verb} to the per-round "
@@ -707,6 +716,7 @@ def sample(
             gauss_w = None
             lik = "gauss"
             lik_const = 0.0
+            w_scalar = False
             fused = bs["fused"]
             n_i = sd["X"][i].shape[0]  # local rows when sharded
             k_i = bs["cfg"].n_outputs
@@ -717,6 +727,9 @@ def sample(
                     env, _ = compiled.build_env(h.theta, internal_now)
                     sigma = jnp.asarray(evaluate(fused["sigma_expr"], env),
                                         jnp.float32)
+                    # STATIC structural fact: a 0-d sigma means every row
+                    # shares one precision -> the big-n kernel applies
+                    w_scalar = jnp.ndim(sigma) == 0
                     gauss_w = jnp.broadcast_to(
                         (1.0 / jnp.maximum(sigma, 1e-12) ** 2).reshape(-1, 1)
                         if jnp.ndim(sigma) > 0 else
@@ -745,7 +758,7 @@ def sample(
                 bs["rules"], bs["cfg"], bs["pg"], bs["loglik"], lik_params,
                 tuning, gauss_w=gauss_w, lik=lik, lik_const=lik_const,
                 data_axis=data_axis, all_cont=bs["all_cont"],
-                x_nan=bs["x_nan"],
+                x_nan=bs["x_nan"], w_scalar=w_scalar,
             )
             bart_states[i] = new_state
             vis.append(vi)

@@ -868,6 +868,28 @@ def split_var_counts(forest: Forest, p: int):
     return onehot.astype(jnp.float32).sum(axis=0)
 
 
+def _bign_enabled(cfg: BartConfig, pg: PgbartConfig, X, gauss_w,
+                  lik: str, w_scalar: bool, all_cont: bool,
+                  x_nan: bool) -> bool:
+    """Use the row-tiled big-n kernel (ops/bign_pallas) when the ordinary
+    megakernel does NOT cover this shape but the big-n kernel does.
+    Override with PYMC_BART_TPU_BIGN=0/1 (=1 also enables interpret mode
+    on CPU, for tests)."""
+    from ..ops.bign_pallas import bign_supported_reason
+    from ..ops.draw_pallas import fused_draw_supported
+
+    env = _os.environ.get("PYMC_BART_TPU_BIGN")
+    if env is not None and env in ("0", "false", "False"):
+        return False
+    if env is None and jax.default_backend() != "tpu":
+        return False
+    if (fused_draw_supported(cfg, pg, X, gauss_w, lik)
+            and _pallas_enabled(cfg, X)):
+        return False  # the proven megakernel covers it
+    return bign_supported_reason(cfg, pg, X, lik, w_scalar, all_cont,
+                                 x_nan) is None
+
+
 def _megakernel_enabled(cfg: BartConfig, pg: PgbartConfig, X, gauss_w,
                         lik: str = "gauss") -> bool:
     """Use the whole-draw megakernel (ops/draw_pallas) when it covers this
@@ -887,12 +909,13 @@ def _megakernel_enabled(cfg: BartConfig, pg: PgbartConfig, X, gauss_w,
 
 @partial(jax.jit, static_argnames=("cfg", "pg", "loglik_fn", "tuning",
                                    "data_axis", "lik", "lik_const",
-                                   "all_cont", "x_nan"))
+                                   "all_cont", "x_nan", "w_scalar"))
 def pgbart_step(key, state: PgbartState, X, Y_target, rules,
                 cfg: BartConfig, pg: PgbartConfig, loglik_fn: Callable,
                 lik_params, tuning: bool, gauss_w=None, data_axis=None,
                 lik: str = "gauss", lik_const: float = 0.0,
-                all_cont: bool = False, x_nan: bool = True):
+                all_cont: bool = False, x_nan: bool = True,
+                w_scalar: bool = False):
     """One PGBART MCMC step (one chain): update a rotating batch of trees.
 
     ``loglik_fn(f, lik_params) -> scalar`` is the model log-likelihood of a
@@ -908,6 +931,17 @@ def pgbart_step(key, state: PgbartState, X, Y_target, rules,
 
     Returns (new_state, variable_inclusion_counts float32[p]).
     """
+    if (data_axis is None
+            and _bign_enabled(cfg, pg, X, gauss_w, lik, w_scalar,
+                              all_cont, x_nan)):
+        from ..ops.bign_pallas import pgbart_step_bign
+
+        # large n: the row-tiled kernel (only reached when gauss_w is a
+        # per-chain scalar broadcast — w_scalar is set by the caller from
+        # the STATIC model structure, sigma being a scalar RV)
+        w_chain = gauss_w.reshape(-1)[0:1]
+        return pgbart_step_bign(key, state, X, Y_target, cfg, pg,
+                                w_chain, tuning)
     if data_axis is None and _megakernel_enabled(cfg, pg, X, gauss_w, lik):
         from ..ops.draw_pallas import pgbart_step_fused
 
