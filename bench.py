@@ -106,30 +106,44 @@ def _ess_block(idata, mu_name, extra_vars=()):
 
 
 def run_config(name, model_fn, tune, draws, chains, chunk, quality_fn,
-               mu_name="mu", extra_ess=("sigma",), **sample_kw):
+               mu_name="mu", extra_ess=("sigma",), runs=3, **sample_kw):
+    """Median-of-``runs`` end-to-end windows (the shared tunnel shows
+    ~2x run-to-run swings; round-3 review asked the median protocol
+    back).  Repeat runs hit the jit cache, so only the first carries
+    compiles; quality/ESS come from the last run's idata."""
     import pymc_bart_tpu as pmb
 
-    timings: dict = {}
+    rates, per_draws = [], []
     caught = []
     t0 = time.perf_counter()
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        with pmb.Model():
-            model_fn(pmb)
-            idata = pmb.sample(tune=tune, draws=draws, chains=chains,
-                               random_seed=0, chunk_size=chunk,
-                               timings=timings, **sample_kw)
-        caught = [str(x.message) for x in w
-                  if "per-round sampler path" in str(x.message)]
+    for r in range(runs):
+        timings: dict = {}
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            with pmb.Model():
+                model_fn(pmb)
+                idata = pmb.sample(tune=tune, draws=draws, chains=chains,
+                                   random_seed=r, chunk_size=chunk,
+                                   timings=timings, **sample_kw)
+            caught = [str(x.message) for x in w
+                      if "per-round sampler path" in str(x.message)]
+        rate, per_draw = _steady_rate(timings, chains)
+        rates.append(rate)
+        per_draws.append(per_draw)
     total = time.perf_counter() - t0
-    rate, per_draw = _steady_rate(timings, chains)
+    order = np.argsort(rates)
+    mid = order[len(order) // 2]
+    rate, per_draw = rates[mid], per_draws[mid]
     esses = _ess_block(idata, mu_name, extra_ess)
     min_ess = min(esses.values())
     sec_per_100_ess = draws * per_draw * 100.0 / max(min_ess, 1e-9)
     row = {
         "config": name,
         "chains": chains, "tune": tune, "draws": draws,
+        "runs": runs,
         "chain_draws_per_s": round(rate, 1),
+        "chain_draws_per_s_spread": [round(min(rates), 1),
+                                     round(max(rates), 1)],
         "ms_per_draw_all_chains": round(per_draw * 1e3, 3),
         "sec_per_100_ess": round(sec_per_100_ess, 3),
         "min_ess": round(min_ess, 1),
@@ -168,8 +182,12 @@ def config_friedman(n=1000, p=10, m=50, chains=4, tune=200, draws=600):
             "vi_top5_is_signal": top5 == {0, 1, 2, 3, 4},
         }
 
+    # P=10 is the reference default; refinements off — the ESS sweep
+    # (scripts/ess_sweep.py, BENCH_NOTES.md) shows min-ESS is flat in
+    # batch/particles/refinements on this config, so the cheapest draw
+    # wins wall-clock-to-ESS (24.0 -> ~11 sec/100 ESS)
     return run_config("friedman", model, tune, draws, chains, draws // 4,
-                      quality, num_particles=20)
+                      quality, num_particles=10, num_refinements=0)
 
 
 def config_bikes(n=1000, m=50, chains=4, tune=200, draws=400):
@@ -190,7 +208,7 @@ def config_bikes(n=1000, m=50, chains=4, tune=200, draws=400):
         }
 
     return run_config("bikes", model, tune, draws, chains, draws // 4,
-                      quality, num_particles=20)
+                      quality, num_particles=10, num_refinements=0)
 
 
 def config_logistic(n=1000, p=10, m=50, chains=4, tune=200, draws=400):
@@ -286,7 +304,7 @@ def config_large_n(n=50_000, p=10, m=20, chains=2, tune=200, draws=400):
 
     return run_config("large_n_50k", model, tune, draws, chains,
                       max(draws // 4, 1), quality, num_particles=10,
-                      store_trees=False)
+                      num_refinements=0, store_trees=False)
 
 
 # ---------------------------------------------------------------------------
@@ -301,14 +319,20 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
         row = config_friedman(chains=1, tune=100, draws=200)
-        print(json.dumps({"cpu_chain_draws_per_s":
-                          row["chain_draws_per_s"]}))
+        # the CPU denominator carries its OWN ESS block so BASELINE.md's
+        # "wall-clock to fixed ESS" comparison is explicit, not assumed
+        # (same engine + same algorithm on both sides)
+        print(json.dumps({"cpu_chain_draws_per_s": row["chain_draws_per_s"],
+                          "cpu_min_ess": row["min_ess"],
+                          "cpu_sec_per_100_ess": row["sec_per_100_ess"],
+                          "cpu_ess": row["ess"]}))
         return
 
     only = os.environ.get("BENCH_ONLY")  # dev aid: comma-sep config names
     env = dict(os.environ, _BENCH_CHILD="cpu")
     if only:
         cpu_rate = None
+        cpu_row = {}
     else:
       try:
         out = subprocess.run(
@@ -317,10 +341,12 @@ def main():
         )
         cpu_line = [ln for ln in out.stdout.splitlines()
                     if ln.startswith("{")][-1]
-        cpu_rate = json.loads(cpu_line)["cpu_chain_draws_per_s"]
+        cpu_row = json.loads(cpu_line)
+        cpu_rate = cpu_row["cpu_chain_draws_per_s"]
       except Exception as e:  # noqa: BLE001
         print(f"# cpu baseline failed: {e}", file=sys.stderr)
         cpu_rate = None
+        cpu_row = {}
 
     import jax
 
@@ -347,6 +373,9 @@ def main():
                     f"x{CPU_CHAINS} perfect-scaling credit "
                     f"({cpu_rate} chain-draws/s measured)",
         "cpu_chain_draws_per_s": cpu_rate,
+        "cpu_min_ess": cpu_row.get("cpu_min_ess"),
+        "cpu_sec_per_100_ess": cpu_row.get("cpu_sec_per_100_ess"),
+        "cpu_ess": cpu_row.get("cpu_ess"),
         "configs": rows,
     }
     if not only:  # a filtered dev run must not clobber the full matrix

@@ -7,8 +7,9 @@
 // host-side counterpart: a dependency-free predictor used (a) as an
 // independent cross-check oracle for the JAX kernels, (b) as a fast
 // fallback for CPU-only deployments of fitted models.  Semantics match
-// ops/predict.py exactly: NaN routes right, subset rule is a 32-bit
-// category bitmask, excluded covariates are integrated out by
+// ops/predict.py exactly: NaN routes right, the subset rule is a
+// hash-salted random subset (ops/trees.py subset_member; any category
+// count), excluded covariates are integrated out by
 // row-count-weighted mass propagation, and leaves respond linearly
 // through the parent's split covariate when slope != 0.
 //
@@ -34,11 +35,17 @@ inline bool decide_left(float x, float val, uint32_t sset, int32_t rule) {
     switch (rule) {
         case 0: return x <= val;           // continuous
         case 1: return x == val;           // one-hot
-        default: {                         // subset bitmask
-            int c = static_cast<int>(x);
-            if (c < 0) c = 0;
-            if (c > 31) c = 31;
-            return (sset >> c) & 1u;
+        default: {                         // hash-salted random subset
+            // identical mixing to ops/trees.py subset_member: the
+            // stored word is a SALT; the split value's own category is
+            // always a member (uint32 wraparound == int32 bit patterns)
+            int32_t c = static_cast<int32_t>(x);
+            if (!std::isnan(val) && c == static_cast<int32_t>(val))
+                return true;
+            uint32_t h = sset ^ (static_cast<uint32_t>(c) * 1103515245u);
+            h = (h ^ (h >> 15)) * 73244475u;
+            h = h ^ (h >> 13);
+            return (h & 1u) != 0u;
         }
     }
 }

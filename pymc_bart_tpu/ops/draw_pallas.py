@@ -52,6 +52,7 @@ fusion only — no statistical behavior is introduced here.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -380,6 +381,13 @@ def _draw_kernel(
                       * (sv_lvl < 0).astype(jnp.float32)
                       * (ct_lvl >= 2.0).astype(jnp.float32)
                       * nonfroz_f)
+        # per-node activity over ALL particles: a node's ~26-op vector
+        # body is skipped when no particle grows or replays there (deep
+        # levels are mostly dead slots); skipping preserves state
+        # exactly — an inactive node commits nothing
+        frozen_act_f = frozen_f * (sv_lvl >= 0).astype(jnp.float32)
+        busy_row = jnp.sum(want_lvl_f + frozen_act_f, axis=0,
+                           keepdims=True)                        # (1, G)
         if gen_gumbel:
             rg_d = fresh_gumbel()                       # (CP, n)
         else:
@@ -395,6 +403,19 @@ def _draw_kernel(
             jnp.int32, (1, eps_t.shape[1]), 1)
 
         def g_body(g, st8):
+            if _os.environ.get("PYMC_BART_TPU_NODESKIP", "1") == "0":
+                return g_work(g, st8)
+            busy_g = jnp.sum(busy_row * (iota_G_row == g))
+
+            def _skip(st8):
+                return st8
+
+            def _work(st8):
+                return g_work(g, st8)
+
+            return jax.lax.cond(busy_g > 0.5, _work, _skip, st8)
+
+        def g_work(g, st8):
             sv_v, sl_v, st_v, lf_v, ct_v, li_v, pred_v = st8
             node = lo + g
             l = 2 * node + 1
@@ -454,9 +475,9 @@ def _draw_kernel(
             if not all_cont:
                 rule_g = jnp.sum(onehot_var * rules_row, axis=1,
                                  keepdims=True).astype(jnp.int32)
-                own_cat = jnp.clip(val_g.astype(jnp.int32), 0, 31)
-                sb_col = ext_i(sb_t, (iota_Gt_row == node).astype(jnp.int32))
-                st_prop = sb_col | (jnp.int32(1) << own_cat)
+                # hash-salted subset rule: the stored word is a raw SALT;
+                # own-category membership rides the eq_f value equality
+                st_prop = ext_i(sb_t, (iota_Gt_row == node).astype(jnp.int32))
                 setx = (frozen_i * ext_i(st_v, ncol.astype(jnp.int32))
                         + (1 - frozen_i) * st_prop)
 
@@ -475,9 +496,15 @@ def _draw_kernel(
                 else:
                     eq_f = (xcol == valx).astype(jnp.float32)
                     nonan_row = 1.0
-                cat_rows = jnp.clip(xcol, 0.0, 31.0).astype(jnp.int32)
-                sub_f = ((setx >> cat_rows) & 1).astype(jnp.float32) \
-                    * nonan_row
+                # hash-salted membership (ops/trees.py subset_member);
+                # xcol is NaN-cleaned so the int cast is safe
+                cat_rows = xcol.astype(jnp.int32)
+                hsh = setx ^ (cat_rows * 1103515245)
+                hsh = (hsh ^ jax.lax.shift_right_logical(hsh, 15)) \
+                    * 73244475
+                hsh = hsh ^ jax.lax.shift_right_logical(hsh, 13)
+                sub_f = jnp.minimum(
+                    eq_f + (hsh & 1).astype(jnp.float32) * nonan_row, 1.0)
                 rr0_f = (rule_g == 0).astype(jnp.float32)
                 rr1_f = (rule_g == 1).astype(jnp.float32)
                 left_f = (rr0_f * cont_f + rr1_f * eq_f

@@ -168,13 +168,10 @@ def _grow_math(frozen, sv, sl, st, lf, ct, li, pred_prev,
         rule_row = rows_pick(pack_rows(rule_g.astype(jnp.float32)))[0]
         rule_row = rule_row.astype(jnp.int32)
 
-    # subset-rule bitmask includes the selected row's own category.
-    # Bitmask arithmetic on i32 bit patterns (Mosaic: no u32 reductions,
-    # no f32->u32 casts).
-    own_cat = jnp.clip(jnp.nan_to_num(val_raw, nan=0.0).astype(jnp.int32),
-                       0, 31)
-    bits_i = jax.lax.bitcast_convert_type(set_bits, jnp.int32)
-    st_s_i = bits_i | (jnp.int32(1) << own_cat)
+    # hash-salted subset rule: the stored word is a raw SALT (i32 bit
+    # patterns; Mosaic: no u32 reductions, no f32->u32 casts); the own
+    # category is a member via split-value equality below.
+    st_s_i = jax.lax.bitcast_convert_type(set_bits, jnp.int32)
     node_st_i = jax.lax.bitcast_convert_type(node_st, jnp.int32)
 
     valx = jnp.where(frozen, node_sl, val_raw)
@@ -201,9 +198,13 @@ def _grow_math(frozen, sv, sl, st, lf, ct, li, pred_prev,
     anynan = xv_nan | valnan_row
     cont = (xv <= valx_row) & ~anynan
     eq_rule = (xv == valx_row) & ~anynan
-    cat_row = jnp.clip(xv, 0.0, 31.0).astype(jnp.int32)
-    # arithmetic right shift: bit 0 of (x >> c) is bit c of x for c in [0,31]
-    subset = (((setx_row_i >> cat_row) & jnp.int32(1)) > 0) & ~xv_nan
+    cat_row = jnp.nan_to_num(xv, nan=0.0).astype(jnp.int32)
+    # hash-salted membership (ops/trees.py subset_member, inlined with
+    # the already-computed own-category equality eq_rule)
+    hsh = setx_row_i ^ (cat_row * jnp.int32(1103515245))
+    hsh = (hsh ^ jax.lax.shift_right_logical(hsh, 15)) * jnp.int32(73244475)
+    hsh = hsh ^ jax.lax.shift_right_logical(hsh, 13)
+    subset = (eq_rule | ((hsh & jnp.int32(1)) > 0)) & ~xv_nan
     rr0 = rule_row == 0
     rr1 = rule_row == 1
     left = (rr0 & cont) | (rr1 & eq_rule) | (~rr0 & ~rr1 & subset)

@@ -111,6 +111,29 @@ def level_slots(d: int) -> Tuple[int, int]:
     return 2**d - 1, 2 ** (d + 1) - 1
 
 
+def subset_member(cat_i32: jax.Array, split_val, salt_i32: jax.Array):
+    """Hash-salted random-subset membership for the Subset split rule.
+
+    ``split_set`` stores a 32-bit SALT, not a bitmask: category c is in
+    the node's subset iff a salt-keyed hash bit of c is set, and the
+    stored split value's own category is always a member (so the left
+    child contains at least the sampled row).  A salt indexes one of
+    2^32 pseudo-uniform subsets of the category space, so — unlike the
+    round-3 bitmask, which silently clamped categories at 31 — the rule
+    supports ANY number of categories in one word (reference
+    docs/api_reference.rst:16 SubsetSplitRule has no category bound).
+    The integer mixing uses int32-range constants and logical shifts so
+    XLA, Mosaic and the C++ core (native/bartcore.cpp) compute identical
+    bits.
+    """
+    h = salt_i32 ^ (cat_i32 * jnp.int32(1103515245))
+    h = (h ^ jax.lax.shift_right_logical(h, 15)) * jnp.int32(73244475)
+    h = h ^ jax.lax.shift_right_logical(h, 13)
+    own = cat_i32 == jnp.nan_to_num(split_val,
+                                    nan=-(2.0 ** 30)).astype(jnp.int32)
+    return own | ((h & jnp.int32(1)) > 0)
+
+
 def decide_left(xv: jax.Array, split_val, split_set, rule: jax.Array) -> jax.Array:
     """Vectorized split decision: does row value ``xv`` go to the LEFT child?
 
@@ -121,12 +144,13 @@ def decide_left(xv: jax.Array, split_val, split_set, rule: jax.Array) -> jax.Arr
       comparison semantics the reference relies on for NaN rows sampling
       without error (reference tests/test_bart.py:67-81).
     * one-hot:    left iff ``x == v``.
-    * subset:     left iff category bit ``int(x)`` is set in ``split_set``
-      (categories capped at 32 per column).
+    * subset:     left iff ``int(x)`` is in the node's hash-salted random
+      subset (see ``subset_member``; any category count).
     """
     cont = xv <= split_val
     onehot = xv == split_val
-    cat = jnp.clip(jnp.nan_to_num(xv, nan=0.0).astype(jnp.int32), 0, 31)
-    subset = (split_set >> cat.astype(jnp.uint32)) & jnp.uint32(1) > 0
+    cat = jnp.nan_to_num(xv, nan=0.0).astype(jnp.int32)
+    salt = jax.lax.bitcast_convert_type(split_set, jnp.int32)
+    subset = subset_member(cat, split_val, salt)
     subset = jnp.where(jnp.isnan(xv), False, subset)
     return jnp.where(rule == 0, cont, jnp.where(rule == 1, onehot, subset))

@@ -71,6 +71,17 @@ def _depends_on_output(expr, brv, out):
     return False
 
 
+def _unwrap_det(e):
+    """Strip ``Deterministic`` wrappers so fusion patterns match through
+    named intermediate quantities (e.g. ``p = Deterministic("p",
+    sigmoid(lo))``)."""
+    from ..models.model import Deterministic
+
+    while isinstance(e, Deterministic):
+        e = e.expr
+    return e
+
+
 def _match_scale_pattern(expr, brv, out):
     """Match the scale-forest link: ``exp(brv[out])`` -> ("het_exp", 0) or
     ``abs(brv[out]) (+ c)`` -> ("het_abs", c)."""
@@ -124,30 +135,48 @@ def _fused_likelihood(model: Model, brv: BARTRV, out=None):
     k = brv.config.n_outputs
 
     if orv.dist is BernoulliDist and k == 1 and out is None:
-        p_expr = orv.params[0] if orv.params else None
+        p_expr = _unwrap_det(orv.params[0]) if orv.params else None
         if (isinstance(p_expr, Op) and p_expr.fn is _jax.nn.sigmoid
-                and len(p_expr.args) == 1 and p_expr.args[0] is brv):
+                and len(p_expr.args) == 1
+                and _unwrap_det(p_expr.args[0]) is brv):
             return {"kind": "bernoulli"}
         return None
 
     if orv.dist is CategoricalDist and out is not None and k > 1:
-        # separate-trees softmax classifier: p = softmax(w.T, axis=-1)
-        # (reference tests/test_bart.py:140-164 pattern).  Each class
-        # forest updates with ll = [y==j] F_j - logaddexp(F_j, logR_j),
-        # logR_j = logsumexp of the other outputs' current values.
-        p_expr = orv.params[0] if orv.params else None
-        if (isinstance(p_expr, Op) and p_expr.fn is _jax.nn.softmax
-                and len(p_expr.args) == 1
-                and isinstance(p_expr.args[0], Op)
-                and getattr(p_expr.args[0], "tag", None) == ("transpose",)
-                and p_expr.args[0].args[0] is brv
-                and p_expr.kwargs.get("axis") in (-1, 1)):
+        # separate-trees softmax classifier (reference
+        # tests/test_bart.py:140-164 pattern).  Each class forest updates
+        # with ll = [y==j] F_j - logaddexp(F_j, logR_j), logR_j = logsumexp
+        # of the other outputs' current values.  Accepted equivalent
+        # forms: ``softmax(w.T)`` (default or explicit last axis) and
+        # ``softmax(w, axis=0).T``.
+        p_expr = _unwrap_det(orv.params[0]) if orv.params else None
+
+        def _is_lastaxis_softmax_of_brv(e):
+            if not isinstance(e, Op):
+                return False
+            if e.fn is _jax.nn.softmax and len(e.args) == 1:
+                inner = _unwrap_det(e.args[0])
+                return (isinstance(inner, Op)
+                        and getattr(inner, "tag", None) == ("transpose",)
+                        and inner.args[0] is brv
+                        and e.kwargs.get("axis", -1) in (-1, 1))
+            if (getattr(e, "tag", None) == ("transpose",)
+                    and len(e.args) == 1):
+                inner = _unwrap_det(e.args[0])
+                return (isinstance(inner, Op)
+                        and inner.fn is _jax.nn.softmax
+                        and len(inner.args) == 1
+                        and _unwrap_det(inner.args[0]) is brv
+                        and inner.kwargs.get("axis") == 0)
+            return False
+
+        if _is_lastaxis_softmax_of_brv(p_expr):
             return {"kind": "cat_logit"}
         return None
 
     if orv.dist is not NormalDist or len(orv.params) < 2:
         return None
-    mu_expr, sigma_expr = orv.params[0], orv.params[1]
+    mu_expr, sigma_expr = _unwrap_det(orv.params[0]), orv.params[1]
 
     if out is None:
         if k != 1 or mu_expr is not brv:

@@ -212,8 +212,9 @@ def _grow_round_const(rands, frozen, sv, sl, st, lf, ct, leaf_idx, pred,
     if all_cont:
         st_s = st[lo:hi]
     else:
-        own_cat = jnp.clip(jnp.nan_to_num(val_s, nan=0.0).astype(jnp.int32), 0, 31)
-        st_s = rands["set_bits"] | (jnp.uint32(1) << own_cat.astype(jnp.uint32))
+        # hash-salted subset rule: the stored word is a raw SALT; the own
+        # category is a member via split-value equality (ops/trees.py)
+        st_s = rands["set_bits"]
 
     varx = jnp.where(frozen, node_sv, var_s)
     varx_c = jnp.clip(varx, 0, p - 1)
@@ -365,10 +366,9 @@ def _grow_round(rands, frozen, sv, sl, st, lf, ct, sp, leaf_idx, d: int, X,
         val_sum = jax.lax.psum(val_sum, data_axis)
     val_s = val_sum / jnp.maximum(nwin, 1.0)
     val_s = jnp.where(jnp.isfinite(seg_max), val_s, jnp.nan)
-    # subset-rule bitmask: random categories, always including the
-    # selected row's own category so the left child is non-empty.
-    own_cat = jnp.clip(jnp.nan_to_num(val_s, nan=0.0).astype(jnp.int32), 0, 31)
-    st_s = rands["set_bits"] | (jnp.uint32(1) << own_cat.astype(jnp.uint32))
+    # hash-salted subset rule: the stored word is a raw SALT; the own
+    # category is a member via split-value equality (ops/trees.py)
+    st_s = rands["set_bits"]
 
     # effective split parameters for routing
     varx = jnp.where(frozen, node_sv, var_s)
@@ -948,8 +948,10 @@ def pgbart_step(key, state: PgbartState, X, Y_target, rules,
         # measured on v5e: "batched" XLA RNG overlaps with the kernel
         # and beats in-kernel Mosaic PRNG generation (1.40 vs 1.53 ms per
         # 4-chain draw at bench shapes — the Gumbel transcendentals cost
-        # more on the VPU than the prefetched block); "kernel" remains
-        # available for very large n where the 2.4 MB/draw block matters
+        # more on the VPU than the prefetched block).  The custom_vmap
+        # rule switches to in-kernel PRNG when only the Gumbel block
+        # breaks the VMEM budget; very large n routes to the row-tiled
+        # big-n kernel above, which always generates Gumbels on-chip
         return pgbart_step_fused(key, state, X, Y_target, rules, cfg, pg,
                                  gauss_w, tuning, rng_mode="batched",
                                  lik=lik, lik_const=lik_const,

@@ -25,7 +25,16 @@ def oracle_decide_left(x, val, sset, rule):
         return bool(x <= val)
     if rule == RULE_ONEHOT:
         return bool(x == val)
-    return bool((int(sset) >> int(np.clip(x, 0, 31))) & 1)
+    # hash-salted random subset (ops/trees.py subset_member): the stored
+    # word is a SALT; the split value's own category is always a member
+    c = int(x)
+    if (not np.isnan(val)) and c == int(val):
+        return True
+    M = 0xFFFFFFFF
+    h = (int(sset) ^ ((c * 1103515245) & M)) & M
+    h = ((h ^ (h >> 15)) * 73244475) & M
+    h = (h ^ (h >> 13)) & M
+    return bool(h & 1)
 
 
 def oracle_tree_predict(sv, sl, ss, leaf, X, rules):
