@@ -261,7 +261,10 @@ def config_heteroscedastic(n=500, m=30, chains=4, tune=200, draws=400):
                       draws // 4, quality, mu_name="w", extra_ess=())
 
 
-def config_highdim(n=200, p=1000, m=50, chains=2, tune=150, draws=100):
+def config_highdim(n=200, p=1000, m=50, chains=4, tune=200, draws=400):
+    # budget raised from 2x100 draws once the chunked-CDF megakernel took
+    # this config from 64.9 to ~500 chain-draws/s, so the signal-mass
+    # quality claim rests on real effective samples
     rng = np.random.default_rng(4)
     X = rng.normal(size=(n, p)).astype(np.float32)
     Y = (3 * X[:, 0] + 2 * X[:, 1] - 2 * X[:, 2]
