@@ -13,6 +13,14 @@ Protocol: a fixed per-chain workload (config-1-like Gaussian BART,
 chains = device count, sharded over the "chains" mesh axis); efficiency
 = (chain-draws/s at D devices) / (D x chain-draws/s at 1 device).
 
+On the virtual CPU mesh the D "devices" share the box's physical cores,
+so past D = cores the DEVICE-normalized efficiency necessarily falls —
+the binding resource is cores, not the sharding.  The script therefore
+also reports efficiency against the core-aware ideal
+(base x min(D, cores)); >= 1.0 there means shard_map adds no
+serialization, which is what transfers to real chips (where each
+"device" has its own compute and the device-normalized number applies).
+
 Usage:
     python scripts/scaling_efficiency.py [--devices 1 2 4 8]
       [--processes N]   # optional jax.distributed multi-process run
@@ -36,10 +44,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+# this image's sitecustomize pre-registers an experimental TPU platform
+# that overrides JAX_PLATFORMS; jax.config after import is the reliable
+# pin (tests/conftest.py note).  Set SCALING_PLATFORM=tpu on a real pod.
+import jax  # noqa: E402
+
+if os.environ.get("SCALING_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 
 def run_point(n_devices, tune, draws, n, m, particles):
-    import jax
-
     import pymc_bart_tpu as pmb
     from pymc_bart_tpu.parallel.mesh import make_mesh
 
@@ -87,9 +101,9 @@ def main():
             num_processes=args.processes,
             process_id=int(os.environ.get("PROC_ID", "0")))
 
-    import jax
-
     avail = len(jax.devices())
+    cores = os.cpu_count() or 1
+    virtual = jax.devices()[0].platform == "cpu"
     rows = []
     base = None
     for d in args.devices:
@@ -101,12 +115,16 @@ def main():
         if base is None:
             base = rate
         eff = rate / (base * d)
+        ideal = base * (min(d, cores) if virtual else d)
         row = {"devices": d, "chain_draws_per_s": round(rate, 1),
-               "efficiency_vs_1dev": round(eff, 3)}
+               "efficiency_vs_1dev": round(eff, 3),
+               "efficiency_vs_core_ideal": round(rate / ideal, 3)}
         rows.append(row)
         print(json.dumps(row), flush=True)
-    ok = all(r["efficiency_vs_1dev"] >= 0.8 for r in rows[1:])
-    print(json.dumps({"summary": rows,
+    key = "efficiency_vs_core_ideal" if virtual else "efficiency_vs_1dev"
+    ok = all(r[key] >= 0.8 for r in rows[1:])
+    print(json.dumps({"summary": rows, "physical_cores": cores,
+                      "virtual_mesh": virtual, "criterion": key,
                       "meets_baseline_80pct_target": ok}))
 
 
