@@ -537,6 +537,7 @@ def sample(
     profile_dir: Optional[str] = None,
     debug_nans: bool = False,
     jitter_duplicates: bool = True,
+    posterior_dtype: Optional[str] = None,
     timings: Optional[Dict[str, Any]] = None,
 ) -> InferenceData:
     """Run the compound PGBART(+HMC) sampler and return InferenceData.
@@ -554,8 +555,15 @@ def sample(
 
     ``timings``: optional dict filled with wall-clock instrumentation —
     ``tune_seconds``, ``draw_chunk_seconds`` (list, first entry includes
-    the draw-program compile), ``draw_chunk_sizes`` — so benchmarks can
+    the draw-program compile; in overlap mode per-chunk entries are only
+    meaningful in aggregate), ``draw_chunk_sizes`` — so benchmarks can
     report steady-state end-to-end draw rates (BASELINE.md protocol).
+
+    ``posterior_dtype``: optional ``"float16"``/``"bfloat16"`` —
+    half-precision DRAW STORAGE (sampling stays f32).  Halves posterior
+    memory and the device->host transfer, which dominates end-to-end
+    throughput at large n on bandwidth-limited links; the returned
+    posterior is upcast to float32.
     """
     model = Model.get_context(model)
     compiled = CompiledModel(model)
@@ -845,6 +853,14 @@ def sample(
         carry, (vis, stats) = one_step(carry, k, sd, False)
         bart_states, h = carry
         values = collect(carry)
+        if posterior_dtype is not None:
+            # opt-in half-precision DRAW STORAGE (sampling itself stays
+            # f32): halves posterior memory and the device->host drain,
+            # which dominates end-to-end throughput at large n on
+            # bandwidth-limited links.  Exact for diagnostics to ~3
+            # decimal digits; the host upcasts back to float32.
+            values = jax.tree.map(
+                lambda a: a.astype(posterior_dtype), values)
         # one inclusion row per BART RV: a separate-trees group reports
         # the sum of its per-output forests' split counts
         by_rv: Dict[str, Any] = {}
@@ -1184,6 +1200,13 @@ def sample(
     draws = vi.shape[1] if n_bart else accept.shape[1]  # actual collected
 
     # -- build InferenceData -------------------------------------------------
+    def _upcast(v):
+        # half-precision draw storage (posterior_dtype) returns to f32
+        return (v.astype(np.float32)
+                if v.dtype.itemsize == 2 and v.dtype.kind == "f" else v)
+
+    if posterior_dtype is not None:
+        values = {k_: _upcast(np.asarray(v_)) for k_, v_ in values.items()}
     posterior_vars: Dict[str, DataArray] = {}
     for brv in compiled.bart_rvs:
         v = values[brv.name]  # (chains, draws, ...) numpy

@@ -214,3 +214,37 @@ def test_sigma_posterior_coverage():
     assert lo > 0.85 * sigma_true, (lo, "sigma collapsed low: overfit")
     assert 0.95 < s_mean < 1.35, s_mean
     assert hi < 1.5 * sigma_true, hi
+
+
+def test_checkpoint_resume_uneven_chunks(tmp_path):
+    """Resume reproducibility with chunk sizes that do NOT divide the
+    draw count: checkpoint mode runs even chunks, so the saved carry
+    never runs ahead of the recorded step (round-3 ADVICE: an over-run
+    final chunk made larger-draws resumes replay consumed key indices).
+    A resumed longer run must equal an uninterrupted run bit-for-bit."""
+    rng = np.random.default_rng(9)
+    X = rng.normal(size=(40, 2))
+    Y = rng.normal(size=40)
+
+    def build():
+        with pmb.Model() as model:
+            mu = pmb.BART("mu", X, Y, m=5)
+            sigma = pmb.HalfNormal("sigma", 1.0)
+            pmb.Normal("y", mu, sigma, observed=Y)
+            return model
+
+    # interrupted run: 11 draws in chunks of <=4 (even chunks: 4,4,3)
+    ck1 = str(tmp_path / "ck1")
+    pmb.sample(tune=8, draws=11, chains=1, random_seed=5, model=build(),
+               chunk_size=4, checkpoint_dir=ck1)
+    resumed = pmb.sample(tune=8, draws=21, chains=1, random_seed=5,
+                         model=build(), chunk_size=4, checkpoint_dir=ck1,
+                         resume=True)
+    # uninterrupted 21-draw run (fresh checkpoint dir)
+    ck2 = str(tmp_path / "ck2")
+    full = pmb.sample(tune=8, draws=21, chains=1, random_seed=5,
+                      model=build(), chunk_size=4, checkpoint_dir=ck2)
+    np.testing.assert_array_equal(np.asarray(resumed.posterior["mu"]),
+                                  np.asarray(full.posterior["mu"]))
+    np.testing.assert_array_equal(np.asarray(resumed.posterior["sigma"]),
+                                  np.asarray(full.posterior["sigma"]))

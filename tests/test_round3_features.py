@@ -113,3 +113,28 @@ def test_oos_nan_zero_not_conflated(small_fit):
         # other rows keep their covariates, so predictions stay close
         assert np.isfinite(mu_swapped).all()
         pmb.set_data({"x": X})
+
+
+def test_posterior_dtype_half_precision():
+    """sample(posterior_dtype='float16') stores draws half-precision and
+    returns a float32 posterior within storage-precision tolerance."""
+    import numpy as np
+
+    import pymc_bart_tpu as pmb
+
+    rng = np.random.default_rng(0)
+    X = rng.uniform(size=(80, 3))
+    Y = (X[:, 0] * 5 + rng.normal(size=80)).astype(np.float32)
+    with pmb.Model():
+        mu = pmb.BART("mu", X, Y, m=4)
+        s = pmb.HalfNormal("sigma", 1.0)
+        pmb.Normal("y", mu, s, observed=Y)
+        i16 = pmb.sample(tune=10, draws=10, chains=2, random_seed=0,
+                         posterior_dtype="float16", progressbar=False,
+                         store_trees=False)
+        i32 = pmb.sample(tune=10, draws=10, chains=2, random_seed=0,
+                         progressbar=False, store_trees=False)
+    a, b = i16.posterior["mu"].values, i32.posterior["mu"].values
+    assert a.dtype == np.float32
+    scale = max(float(np.abs(b).max()), 1.0)
+    assert float(np.abs(a - b).max()) / scale < 1e-2
