@@ -59,7 +59,13 @@ class OneHotSplitRule(SplitRule):
 
 
 class SubsetSplitRule(SplitRule):
-    """Route left when the category is in a random subset (<= 32 levels)."""
+    """Route left when the category is in a random subset of the levels.
+
+    Any number of categories is supported: each split stores a 32-bit
+    salt indexing a pseudo-uniform random subset (hash-salted membership,
+    ops/trees.py ``subset_member``), with the sampled row's own category
+    always a member (reference SubsetSplitRule,
+    docs/api_reference.rst:16)."""
 
     code = RULE_SUBSET
 

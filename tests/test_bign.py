@@ -124,3 +124,34 @@ def test_bign_end_to_end_sample():
     mu_hat = idata.posterior["mu"].values.mean(axis=(0, 1))
     rmse = float(np.sqrt(np.mean((mu_hat - f) ** 2)))
     assert rmse < 0.8 * float(np.std(f)), rmse
+
+
+def test_bign_chain_split_fallback(monkeypatch):
+    """When C chains exceed the VMEM budget the vmap rule splits into
+    sequential single-chain kernel calls — results must match the
+    batched path exactly."""
+    import pymc_bart_tpu.ops.bign_pallas as bp
+
+    X, Y, cfg, pg, gw = _setup(n=200)
+    C = 2
+    state1 = pgbart.init_state(X, Y, cfg)
+    stateC = jax.tree.map(lambda a: jnp.broadcast_to(a, (C,) + a.shape),
+                          state1)
+    keysC = jax.random.split(jax.random.PRNGKey(3), C)
+    w = jnp.full((C, 1), 4.0)
+
+    def run():
+        bp._bign_step_cached.cache_clear()
+        return jax.vmap(lambda k, s, w1: bp.pgbart_step_bign(
+            k, s, X, Y, cfg, pg, w1, True,
+            rng_mode="reference"))(keysC, stateC, w)
+
+    batched, vi_b = run()
+    monkeypatch.setattr(bp, "_vmem_fits", lambda C_, P_, n_, p_: C_ <= 1)
+    split, vi_s = run()
+    np.testing.assert_array_equal(np.asarray(batched.forest.split_var),
+                                  np.asarray(split.forest.split_var))
+    np.testing.assert_array_equal(np.asarray(vi_b), np.asarray(vi_s))
+    np.testing.assert_allclose(np.asarray(batched.sum_trees),
+                               np.asarray(split.sum_trees),
+                               rtol=1e-5, atol=1e-5)
