@@ -182,12 +182,13 @@ def config_friedman(n=1000, p=10, m=50, chains=4, tune=200, draws=600):
             "vi_top5_is_signal": top5 == {0, 1, 2, 3, 4},
         }
 
-    # P=10 is the reference default; refinements off — the ESS sweep
-    # (scripts/ess_sweep.py, BENCH_NOTES.md) shows min-ESS is flat in
-    # batch/particles/refinements on this config, so the cheapest draw
-    # wins wall-clock-to-ESS (24.0 -> ~11 sec/100 ESS)
+    # P=20 + 5 refinements: the ESS sweep (scripts/ess_sweep.py,
+    # BENCH_NOTES.md) shows min-ESS is FLAT in batch/particles/
+    # refinements, but particles+refinements buy FIT quality (rmse 0.59
+    # vs 0.90 at P=10/R=0) and the north star requires matched RMSE —
+    # so the quality configuration stays
     return run_config("friedman", model, tune, draws, chains, draws // 4,
-                      quality, num_particles=10, num_refinements=0)
+                      quality, num_particles=20)
 
 
 def config_bikes(n=1000, m=50, chains=4, tune=200, draws=400):
@@ -208,7 +209,7 @@ def config_bikes(n=1000, m=50, chains=4, tune=200, draws=400):
         }
 
     return run_config("bikes", model, tune, draws, chains, draws // 4,
-                      quality, num_particles=10, num_refinements=0)
+                      quality, num_particles=20)
 
 
 def config_logistic(n=1000, p=10, m=50, chains=4, tune=200, draws=400):

@@ -39,7 +39,13 @@ Three structural ideas make the chunking cheap:
 
 Scope (the caller gates; everything else stays on the existing paths):
 Gaussian likelihood with scalar per-chain precision, constant response,
-single output, all-continuous split rules, NaN-free X, p <= 512.
+single output, all-continuous split rules, NaN-free X, p <= 512.  The
+``li`` scratch bounds n at roughly 100k rows for a single chain (the
+chains wrapper splits chain counts that exceed VMEM into sequential
+single-chain calls); streaming ``li`` through HBM block-wise would lift
+that ceiling and is the natural next extension, as is a third chunked
+pass per level to carry the non-collapsible likelihood codes
+(bernoulli/heteroscedastic).
 
 Randomness: node-level blocks are the same ``_rands_batched`` layout as
 the megakernel; row Gumbels are generated on-chip (Mosaic PRNG) with a
@@ -214,8 +220,6 @@ def _bign_kernel(
     ug_t = ug_ref[0]
     uv_t = uv_ref[0]
     eps_t = eps_ref[0]
-    iota_Gt_row = jax.lax.broadcasted_iota(jnp.int32, (1, ug_t.shape[1]), 1)
-    iota_2Gt_row = jax.lax.broadcasted_iota(jnp.int32, (1, eps_t.shape[1]), 1)
     iota_BN_row = jax.lax.broadcasted_iota(jnp.int32, (CP, BN), 1)
 
     def gumbel_chunk(d, nb):
@@ -398,7 +402,6 @@ def _bign_kernel(
         # children leaf values ~ N(child residual mean / m, leaf_sd)
         eps_lvl = eps_t[:, 2 * lo:2 * lo + 2 * G]               # (CP, 2G)
         iota_2G = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * G), 1)
-        even = (iota_2G % 2 == 0).astype(jnp.float32)
         # interleave left/right stats into child-slot order
         def interleave(a_l, a_r):
             out = jnp.zeros((CP, 2 * G), jnp.float32)

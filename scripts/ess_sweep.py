@@ -47,7 +47,7 @@ def run_point(config, batch, refinements, particles, tune, draws, chains):
     t0 = time.perf_counter()
     with pmb.Model():
         if config == "friedman":
-            X, Y, f_true = friedman(1000, 10)
+            X, Y, _f_true = friedman(1000, 10)
             mu = pmb.BART("mu", X, Y, m=50)
             sigma = pmb.HalfNormal("sigma", 1.0)
             pmb.Normal("y", mu, sigma, observed=Y)
