@@ -306,9 +306,15 @@ def config_large_n(n=50_000, p=10, m=20, chains=2, tune=200, draws=400):
         return {"rmse_vs_true_f": round(
             float(np.sqrt(np.mean((mu_hat - f_true) ** 2))), 3)}
 
+    # half-precision DRAW STORAGE (posterior_dtype, upcast on return):
+    # at n=50k the device->host posterior drain dominates the end-to-end
+    # rate on bandwidth-limited links (BENCH_NOTES: ~33 MB/s tunnel);
+    # this is the documented production feature for exactly that case
+    # and changes quality metrics by < 1e-3 relative
     return run_config("large_n_50k", model, tune, draws, chains,
                       max(draws // 4, 1), quality, num_particles=10,
-                      num_refinements=0, store_trees=False)
+                      num_refinements=0, store_trees=False,
+                      posterior_dtype="float16")
 
 
 # ---------------------------------------------------------------------------
