@@ -17,17 +17,32 @@ the 5 configs, through the user entry point.  This bench runs:
                      decay); rides the megakernel via the chunked p<=2048 CDF
   6. large_n       — n=50k rows (row-tiled big-n kernel, ops/bign_pallas)
 
-Steady-state rate = draws after the first chunk (the first draw chunk
-carries the draw-program compile); the tune phase warms the tune
-program.  ESS normalization: ``sec_per_100_ess`` = wall-clock for the
-collected draws x 100 / min bulk-ESS over sigma and three mu rows.
+Round-5 protocol hardening (round-4 VERDICT "Next round" #1): the
+config-1 headline JSON is printed to stdout IMMEDIATELY after the
+friedman rows complete (stdout carries exactly that one line), the full
+matrix is rewritten to ``BENCH_FULL.json`` after EVERY config, and a
+wall-clock budget (``BENCH_BUDGET_S``, default 1500 s) degrades later
+configs to runs=1 — or marks them skipped — instead of letting the
+driver's timeout kill the process mid-row (round 4 ended rc=124 with no
+parsed headline).
+
+Steady-state rate = (accurate blocked total draw seconds - first chunk)
+/ draws after the first chunk; the first draw chunk carries the
+draw-program compile.  ESS normalization: ``sec_per_100_ess`` =
+wall-clock for the collected draws x 100 / min bulk-ESS over sigma and
+three mu rows.  Every config reports split-rank-normalized R-hat
+(round-4 VERDICT weak #3: non-convergence must be surfaced, not
+buried), and every config uses half-precision draw storage
+(``posterior_dtype="float16"``, upcast on return) — the device->host
+posterior drain dominates end-to-end rates on this tunneled link
+(round-4 VERDICT "Next round" #4).
 
 The CPU denominator is config 1 end-to-end through ``sample()`` on CPU
 (single chain, x4 perfect-scaling credit — generous to the reference's
 process-per-chain model; CPU PyMC-BART itself cannot run in this image).
 
-Prints ONE JSON line (config-1 headline).  The full matrix goes to
-``BENCH_FULL.json`` and a human summary to stderr.
+Prints ONE JSON line (config-1 headline) on stdout.  The full matrix
+goes to ``BENCH_FULL.json`` and per-row summaries to stderr.
 """
 
 from __future__ import annotations
@@ -42,6 +57,13 @@ import warnings
 import numpy as np
 
 CPU_CHAINS = 4  # scaling credit assumed for the CPU process-per-chain model
+
+_T0 = time.perf_counter()
+
+
+def _remaining() -> float:
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    return budget - (time.perf_counter() - _T0)
 
 
 # ---------------------------------------------------------------------------
@@ -81,28 +103,36 @@ def bikes_like(n, seed=1):
 
 
 def _steady_rate(timings, chains):
+    """Steady-state per-draw wall clock from the ACCURATE blocked total
+    (``draw_seconds_total``), minus the first chunk's entry (which
+    carries the draw-program compile).  Summing per-chunk entries would
+    misattribute overlap-mode drains (round-4 VERDICT weak #8 /
+    round-3 ADVICE low)."""
     secs = timings["draw_chunk_seconds"]
     sizes = timings["draw_chunk_sizes"]
+    total = timings.get("draw_seconds_total", sum(secs))
     if len(secs) > 1:
-        per_draw = sum(secs[1:]) / sum(sizes[1:])
+        per_draw = (total - secs[0]) / sum(sizes[1:])
     else:
-        per_draw = secs[0] / sizes[0]
+        per_draw = total / sizes[0]
     return chains / per_draw, per_draw
 
 
 def _ess_block(idata, mu_name, extra_vars=()):
-    from pymc_bart_tpu.utils.diagnostics import ess_bulk
+    from pymc_bart_tpu.utils.diagnostics import ess_bulk, rhat
 
-    esses = {}
+    esses, rhats = {}, {}
     mu = idata.posterior[mu_name].values
     mu = mu.reshape(mu.shape[0], mu.shape[1], -1)  # flatten output dims
     rows = mu.shape[-1]
     for r in (0, rows // 2, rows - 1):
         esses[f"{mu_name}[{r}]"] = float(ess_bulk(mu[..., r]))
+        rhats[f"{mu_name}[{r}]"] = float(rhat(mu[..., r]))
     for v in extra_vars:
         if v in idata.posterior:
             esses[v] = float(ess_bulk(idata.posterior[v].values))
-    return esses
+            rhats[v] = float(rhat(idata.posterior[v].values))
+    return esses, rhats
 
 
 def run_config(name, model_fn, tune, draws, chains, chunk, quality_fn,
@@ -112,6 +142,12 @@ def run_config(name, model_fn, tune, draws, chains, chunk, quality_fn,
     back).  Repeat runs hit the jit cache, so only the first carries
     compiles; quality/ESS come from the last run's idata."""
     import pymc_bart_tpu as pmb
+
+    # half-precision DRAW STORAGE everywhere (upcast on return): the
+    # device->host posterior drain is ~43 KB/draw on friedman and
+    # dominates the end-to-end spread on the ~33 MB/s tunneled link
+    # (round-4 BENCH_NOTES); quality deltas are < 1e-3 relative
+    sample_kw.setdefault("posterior_dtype", "float16")
 
     rates, per_draws = [], []
     caught = []
@@ -134,7 +170,7 @@ def run_config(name, model_fn, tune, draws, chains, chunk, quality_fn,
     order = np.argsort(rates)
     mid = order[len(order) // 2]
     rate, per_draw = rates[mid], per_draws[mid]
-    esses = _ess_block(idata, mu_name, extra_ess)
+    esses, rhats = _ess_block(idata, mu_name, extra_ess)
     min_ess = min(esses.values())
     sec_per_100_ess = draws * per_draw * 100.0 / max(min_ess, 1e-9)
     row = {
@@ -148,6 +184,8 @@ def run_config(name, model_fn, tune, draws, chains, chunk, quality_fn,
         "sec_per_100_ess": round(sec_per_100_ess, 3),
         "min_ess": round(min_ess, 1),
         "ess": {k: round(v, 1) for k, v in esses.items()},
+        "max_rhat": round(max(rhats.values()), 3),
+        "rhat": {k: round(v, 3) for k, v in rhats.items()},
         "tune_seconds": round(timings["tune_seconds"], 2),
         "total_seconds": round(total, 2),
         "fallback": caught[0] if caught else None,
@@ -161,7 +199,8 @@ def run_config(name, model_fn, tune, draws, chains, chunk, quality_fn,
 # ---------------------------------------------------------------------------
 
 
-def config_friedman(n=1000, p=10, m=50, chains=4, tune=200, draws=600):
+def config_friedman(n=1000, p=10, m=50, chains=4, tune=200, draws=600,
+                    runs=3):
     X, Y, f_true = friedman(n, p)
 
     def model(pmb):
@@ -188,10 +227,10 @@ def config_friedman(n=1000, p=10, m=50, chains=4, tune=200, draws=600):
     # vs 0.90 at P=10/R=0) and the north star requires matched RMSE —
     # so the quality configuration stays
     return run_config("friedman", model, tune, draws, chains, draws // 4,
-                      quality, num_particles=20)
+                      quality, runs=runs, num_particles=20)
 
 
-def config_bikes(n=1000, m=50, chains=4, tune=200, draws=400):
+def config_bikes(n=1000, m=50, chains=4, tune=200, draws=400, runs=3):
     X, Y, lam = bikes_like(n)
 
     def model(pmb):
@@ -209,10 +248,11 @@ def config_bikes(n=1000, m=50, chains=4, tune=200, draws=400):
         }
 
     return run_config("bikes", model, tune, draws, chains, draws // 4,
-                      quality, num_particles=20)
+                      quality, runs=runs, num_particles=20)
 
 
-def config_logistic(n=1000, p=10, m=50, chains=4, tune=200, draws=400):
+def config_logistic(n=1000, p=10, m=50, chains=4, tune=200, draws=400,
+                    runs=3):
     rng = np.random.default_rng(2)
     X = rng.uniform(size=(n, p)).astype(np.float32)
     logit = 4 * np.sin(np.pi * X[:, 0] * X[:, 1]) + 4 * X[:, 3] - 2
@@ -235,11 +275,12 @@ def config_logistic(n=1000, p=10, m=50, chains=4, tune=200, draws=400):
                 "mean_loglik": round(ll, 3)}
 
     return run_config("logistic", model, tune, draws, chains, draws // 4,
-                      quality, mu_name="lo", extra_ess=(),
+                      quality, mu_name="lo", extra_ess=(), runs=runs,
                       num_particles=20)
 
 
-def config_heteroscedastic(n=500, m=30, chains=4, tune=200, draws=400):
+def config_heteroscedastic(n=500, m=30, chains=4, tune=200, draws=400,
+                           runs=3):
     rng = np.random.default_rng(3)
     X = rng.uniform(-1, 1, size=(n, 2)).astype(np.float32)
     mu_true = 3 * np.sin(2 * X[:, 0])
@@ -259,10 +300,12 @@ def config_heteroscedastic(n=500, m=30, chains=4, tune=200, draws=400):
                 "scale_hi_over_lo": round(hi / max(lo, 1e-9), 2)}
 
     return run_config("heteroscedastic", model, tune, draws, chains,
-                      draws // 4, quality, mu_name="w", extra_ess=())
+                      draws // 4, quality, mu_name="w", extra_ess=(),
+                      runs=runs)
 
 
-def config_highdim(n=200, p=1000, m=50, chains=4, tune=200, draws=400):
+def config_highdim(n=200, p=1000, m=50, chains=4, tune=200, draws=400,
+                   runs=3):
     # budget raised from 2x100 draws once the chunked-CDF megakernel took
     # this config from 64.9 to ~500 chain-draws/s, so the signal-mass
     # quality claim rests on real effective samples
@@ -285,15 +328,18 @@ def config_highdim(n=200, p=1000, m=50, chains=4, tune=200, draws=400):
                 "signal_mass": round(mass, 3)}
 
     return run_config("highdim_p1000", model, tune, draws, chains,
-                      max(draws // 4, 1), quality,
+                      max(draws // 4, 1), quality, runs=runs,
                       num_particles=40, batch=(0.5, 0.5),
                       split_prior_decay=0.999)
 
 
-def config_large_n(n=50_000, p=10, m=20, chains=2, tune=200, draws=400):
-    # rides the row-tiled big-n kernel (sufficient-statistics PGBART);
-    # the budget was raised from 40/80 once the row went from 0.2 to
-    # ~100 chain-draws/s so the quality/ESS numbers are real
+def config_large_n(n=50_000, p=10, m=20, chains=4, tune=200, draws=600,
+                   runs=1):
+    # rides the row-tiled big-n kernel (sufficient-statistics PGBART).
+    # chains raised 2 -> 4 and draws 400 -> 600 (round-4 VERDICT weak #4
+    # / "Next round" #7a: the rmse claim needs real effective samples;
+    # chain counts above the single-instance VMEM ceiling run as
+    # sequential per-chain kernel calls)
     X, Y, f_true = friedman(n, p, seed=5)
 
     def model(pmb):
@@ -306,15 +352,22 @@ def config_large_n(n=50_000, p=10, m=20, chains=2, tune=200, draws=400):
         return {"rmse_vs_true_f": round(
             float(np.sqrt(np.mean((mu_hat - f_true) ** 2))), 3)}
 
-    # half-precision DRAW STORAGE (posterior_dtype, upcast on return):
-    # at n=50k the device->host posterior drain dominates the end-to-end
-    # rate on bandwidth-limited links (BENCH_NOTES: ~33 MB/s tunnel);
-    # this is the documented production feature for exactly that case
-    # and changes quality metrics by < 1e-3 relative
     return run_config("large_n_50k", model, tune, draws, chains,
-                      max(draws // 4, 1), quality, num_particles=10,
-                      num_refinements=0, store_trees=False,
-                      posterior_dtype="float16")
+                      max(draws // 4, 1), quality, runs=runs,
+                      num_particles=10, num_refinements=0,
+                      store_trees=False)
+
+
+# configs in execution order with their max run counts (large-n rows are
+# single-run: their windows are long and their spread is drain-bound)
+CONFIGS = [
+    (config_friedman, 3),
+    (config_bikes, 3),
+    (config_logistic, 3),
+    (config_heteroscedastic, 3),
+    (config_highdim, 3),
+    (config_large_n, 1),
+]
 
 
 # ---------------------------------------------------------------------------
@@ -328,7 +381,7 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        row = config_friedman(chains=1, tune=100, draws=200)
+        row = config_friedman(chains=1, tune=100, draws=200, runs=1)
         # the CPU denominator carries its OWN ESS block so BASELINE.md's
         # "wall-clock to fixed ESS" comparison is explicit, not assumed
         # (same engine + same algorithm on both sides)
@@ -347,7 +400,7 @@ def main():
       try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=3600,
+            env=env, capture_output=True, text=True, timeout=900,
         )
         cpu_line = [ln for ln in out.stdout.splitlines()
                     if ln.startswith("{")][-1]
@@ -362,45 +415,68 @@ def main():
 
     platform = jax.devices()[0].platform
     rows = []
-    for fn in (config_friedman, config_bikes, config_logistic,
-               config_heteroscedastic, config_highdim, config_large_n):
-        if only and fn.__name__.replace("config_", "") not in only.split(","):
-            continue
-        try:
-            row = fn()
-        except Exception as e:  # noqa: BLE001
-            row = {"config": fn.__name__, "error": repr(e)[:500]}
+    headline_done = False
+
+    def result_dict():
+        return {
+            "protocol": "end-to-end sample(): steady-state chain-draws/s "
+                        "after the first (compile-carrying) draw chunk; "
+                        "denominator = same engine, config-1 CPU sample() "
+                        f"x{CPU_CHAINS} perfect-scaling credit "
+                        f"({cpu_rate} chain-draws/s measured)",
+            "cpu_chain_draws_per_s": cpu_rate,
+            "cpu_min_ess": cpu_row.get("cpu_min_ess"),
+            "cpu_sec_per_100_ess": cpu_row.get("cpu_sec_per_100_ess"),
+            "cpu_ess": cpu_row.get("cpu_ess"),
+            "configs": rows,
+        }
+
+    def emit(row):
         rows.append(row)
         print(f"# {json.dumps(row)}", file=sys.stderr, flush=True)
+        if not only:  # a filtered dev run must not clobber the full matrix
+            path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_FULL.json")
+            with open(path, "w") as fh:
+                json.dump(result_dict(), fh, indent=1)
 
-    c1 = rows[0]
-    vs = (c1.get("chain_draws_per_s", 0.0) / (cpu_rate * CPU_CHAINS)
-          if cpu_rate else 1.0)
-    result = {
-        "protocol": "end-to-end sample(): steady-state chain-draws/s "
-                    "after the first (compile-carrying) draw chunk; "
-                    "denominator = same engine, config-1 CPU sample() "
-                    f"x{CPU_CHAINS} perfect-scaling credit "
-                    f"({cpu_rate} chain-draws/s measured)",
-        "cpu_chain_draws_per_s": cpu_rate,
-        "cpu_min_ess": cpu_row.get("cpu_min_ess"),
-        "cpu_sec_per_100_ess": cpu_row.get("cpu_sec_per_100_ess"),
-        "cpu_ess": cpu_row.get("cpu_ess"),
-        "configs": rows,
-    }
-    if not only:  # a filtered dev run must not clobber the full matrix
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_FULL.json"), "w") as fh:
-            json.dump(result, fh, indent=1)
+    def emit_headline(c1):
+        # the ONE stdout JSON line, printed as soon as config 1 lands so
+        # a later driver timeout cannot erase the headline (round-4
+        # BENCH_r04.json was rc=124 / parsed null)
+        vs = (c1.get("chain_draws_per_s", 0.0) / (cpu_rate * CPU_CHAINS)
+              if cpu_rate else 1.0)
+        print(json.dumps({
+            "metric": "friedman_m50_n1000 end-to-end chain-draws/s/chip "
+                      f"({platform}, 4 chains, sample() incl. compound "
+                      "NUTS + tree storage)",
+            "value": c1.get("chain_draws_per_s", 0.0),
+            "unit": "draws/s",
+            "vs_baseline": round(vs, 3),
+        }), flush=True)
 
-    print(json.dumps({
-        "metric": "friedman_m50_n1000 end-to-end chain-draws/s/chip "
-                  f"({platform}, 4 chains, sample() incl. compound NUTS "
-                  "+ tree storage)",
-        "value": c1.get("chain_draws_per_s", 0.0),
-        "unit": "draws/s",
-        "vs_baseline": round(vs, 3),
-    }))
+    for fn, max_runs in CONFIGS:
+        name = fn.__name__.replace("config_", "")
+        if only and name not in only.split(","):
+            continue
+        rem = _remaining()
+        if rows and rem < 120:
+            emit({"config": name,
+                  "skipped": f"budget exhausted ({rem:.0f}s left; "
+                             "raise BENCH_BUDGET_S)"})
+            continue
+        runs = max_runs if rem > 420 else 1
+        try:
+            row = fn(runs=runs)
+        except Exception as e:  # noqa: BLE001
+            row = {"config": name, "error": repr(e)[:500]}
+        emit(row)
+        if not headline_done:
+            emit_headline(row)
+            headline_done = True
+
+    if not headline_done:  # nothing ran (bad BENCH_ONLY filter)
+        emit_headline({})
 
 
 if __name__ == "__main__":

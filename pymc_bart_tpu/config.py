@@ -159,10 +159,22 @@ class PgbartConfig:
     # (structure fixed, likelihood-targeted) restore value mixing there;
     # they are cheap relative to the SMC (one likelihood eval each).
     num_refinements: int = 5
+    # Retained-path rejuvenation (the tree-structured counterpart of
+    # Particle Gibbs with Ancestor Sampling — see sampler/rejuvenate.py):
+    # after each PGBART step, run grow/prune Metropolis sweeps over the
+    # committed trees.  Attacks the frozen-particle PG mixing floor
+    # (min bulk-ESS ~5/2400 draws on friedman, flat in every other
+    # lever) by perturbing retained tree STRUCTURE locally with
+    # likelihood-ratio acceptance.  Off by default: behavior is
+    # bit-identical to plain PGBART when False.
+    ancestor_sampling: bool = False
+    rejuvenation_sweeps: int = 1
 
     def __post_init__(self):
         if self.num_particles < 2:
             raise ValueError("num_particles must be >= 2")
+        if self.rejuvenation_sweeps < 1:
+            raise ValueError("rejuvenation_sweeps must be >= 1")
         if not 0.0 < self.split_prior_decay <= 1.0:
             raise ValueError("split_prior_decay must be in (0, 1]")
         if self.num_refinements < 0:

@@ -312,12 +312,17 @@ def _bign_kernel(
                     m_f = (li_c == node)
                     sc = jnp.where(m_f, rg_c, NEG)
                     mxc = jnp.max(sc, axis=1, keepdims=True)   # (CP, 1)
-                    win = ((sc == mxc) & m_f).astype(jnp.float32)
-                    nwin = jnp.maximum(jnp.sum(win, axis=1, keepdims=True),
-                                       1.0)
+                    win = (sc == mxc) & m_f
+                    # ties: MIN row index attaining the chunk max (the
+                    # strict > below keeps the earliest chunk on cross-
+                    # chunk ties, so the combined rule is the global
+                    # min-index winner — round-4 ADVICE low #3)
+                    ridx = jnp.min(jnp.where(win, iota_BN_row, BN),
+                                   axis=1, keepdims=True)
+                    wsel = ((iota_BN_row == ridx) & win
+                            ).astype(jnp.float32)
                     xcol = mm(onehot_var_g[g], x_nb)           # (CP, BN)
-                    val_c = jnp.sum(win * xcol, axis=1,
-                                    keepdims=True) / nwin
+                    val_c = jnp.sum(wsel * xcol, axis=1, keepdims=True)
                     gmask = (iota_G_row == g).astype(jnp.float32)
                     old_mx = jnp.sum(run_mx * gmask, axis=1, keepdims=True)
                     better = (mxc > old_mx).astype(jnp.float32)

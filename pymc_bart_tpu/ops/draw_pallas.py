@@ -451,15 +451,21 @@ def _draw_kernel(
             if x_nan:
                 xnan_col_f = mm(onehot_var, xnanT_f)       # 0/1 values
 
-            # uniform row via Gumbel-max within the node
+            # uniform row via Gumbel-max within the node; ties broken by
+            # the MIN row index attaining the max (all sampler paths use
+            # this rule — round-4 ADVICE low #3)
             sc = jnp.where(mask, rg_d, NEG)
             mx = jnp.max(sc, axis=1, keepdims=True)
-            win = ((sc == mx) & mask).astype(jnp.float32)
-            nwin = jnp.maximum(jnp.sum(win, axis=1, keepdims=True), 1.0)
-            val_g = jnp.sum(win * xcol, axis=1, keepdims=True) / nwin
+            win = (sc == mx) & mask
+            iota_n_cp = jax.lax.broadcasted_iota(jnp.int32, (CP, n), 1)
+            ridx = jnp.min(jnp.where(win, iota_n_cp, n), axis=1,
+                           keepdims=True)
+            wsel_row = ((iota_n_cp == ridx) & win).astype(jnp.float32)
+            val_g = jnp.sum(wsel_row * xcol, axis=1, keepdims=True)
             if x_nan:
                 valnan_g_f = jnp.minimum(
-                    jnp.sum(win * xnan_col_f, axis=1, keepdims=True), 1.0)
+                    jnp.sum(wsel_row * xnan_col_f, axis=1, keepdims=True),
+                    1.0)
 
             # stored split value at the node (NaN tracked separately)
             if x_nan:

@@ -412,10 +412,14 @@ class PGBART:
 
     def __init__(self, vars, num_particles: int = 10,
                  batch: Tuple[float, float] = (0.1, 0.1),
-                 num_refinements: int = 5, model=None):
+                 num_refinements: int = 5, ancestor_sampling: bool = False,
+                 rejuvenation_sweeps: int = 1, model=None):
         self.var_names = [v.name for v in vars]
-        self.config = PgbartConfig(num_particles=num_particles, batch=batch,
-                                   num_refinements=num_refinements)
+        self.config = PgbartConfig(
+            num_particles=num_particles, batch=batch,
+            num_refinements=num_refinements,
+            ancestor_sampling=ancestor_sampling,
+            rejuvenation_sweeps=rejuvenation_sweeps)
 
 
 def _pack_forest_slice(bs, f, jt=None):
@@ -524,6 +528,8 @@ def sample(
     num_particles: int = 10,
     batch: Tuple[float, float] = (0.1, 0.1),
     num_refinements: int = 5,
+    ancestor_sampling: bool = False,
+    rejuvenation_sweeps: int = 1,
     split_prior_decay: float = 1.0,
     store_trees: bool = True,
     algorithm: str = "nuts",
@@ -556,14 +562,23 @@ def sample(
     ``timings``: optional dict filled with wall-clock instrumentation —
     ``tune_seconds``, ``draw_chunk_seconds`` (list, first entry includes
     the draw-program compile; in overlap mode per-chunk entries are only
-    meaningful in aggregate), ``draw_chunk_sizes`` — so benchmarks can
-    report steady-state end-to-end draw rates (BASELINE.md protocol).
+    meaningful in aggregate), ``draw_chunk_sizes``, and
+    ``draw_seconds_total`` (the accurate blocked draw-phase total,
+    measured after the final host drain) — so benchmarks can report
+    steady-state end-to-end draw rates (BASELINE.md protocol).
 
     ``posterior_dtype``: optional ``"float16"``/``"bfloat16"`` —
     half-precision DRAW STORAGE (sampling stays f32).  Halves posterior
     memory and the device->host transfer, which dominates end-to-end
     throughput at large n on bandwidth-limited links; the returned
     posterior is upcast to float32.
+
+    ``ancestor_sampling``: opt-in retained-path rejuvenation — after
+    each PGBART step, ``rejuvenation_sweeps`` grow/prune Metropolis
+    sweeps over the committed trees (the tree-structured counterpart of
+    Particle Gibbs with Ancestor Sampling; see sampler/rejuvenate.py).
+    Directly attacks the frozen-particle PG mixing floor; off by
+    default and bit-inert when off.
     """
     model = Model.get_context(model)
     compiled = CompiledModel(model)
@@ -574,9 +589,17 @@ def sample(
     # per-BART-variable PGBART configs (manual `step` overrides)
     pg_cfgs: Dict[str, PgbartConfig] = {}
     for brv in compiled.bart_rvs:
+        if ancestor_sampling and brv.config.response != "constant":
+            raise ValueError(
+                "ancestor_sampling (retained-path grow/prune "
+                "rejuvenation) currently supports response='constant' "
+                f"only; {brv.name!r} has response="
+                f"{brv.config.response!r}")
         pg_cfgs[brv.name] = PgbartConfig(
             num_particles=num_particles, batch=batch,
             num_refinements=num_refinements,
+            ancestor_sampling=ancestor_sampling,
+            rejuvenation_sweeps=rejuvenation_sweeps,
             split_prior_decay=split_prior_decay)
     if step is not None:
         steps = step if isinstance(step, (list, tuple)) else [step]
@@ -637,6 +660,27 @@ def sample(
 
     from ..ops.draw_pallas import fused_draw_unsupported_reason
 
+    def _sigma_is_scalar(bs) -> bool:
+        """Concrete probe of sigma's scalar-ness for a fused-gauss entry
+        (the same structural fact the sampling loop derives per step from
+        ``fused['sigma_expr']``).  Round-4 ADVICE low #1: hardcoding
+        w_scalar=True here suppressed the fallback warning for per-row
+        noise models that the big-n kernel will NOT cover at runtime."""
+        fused = bs["fused"]
+        if fused is None or fused.get("kind") != "gauss":
+            return False
+        try:
+            internal = {
+                b.name: jnp.zeros((b.X.shape[0], b.config.n_outputs),
+                                  jnp.float32)
+                for b in compiled.bart_rvs
+            }
+            env, _ = compiled.build_env(
+                jnp.zeros((compiled.theta_size,), jnp.float32), internal)
+            return jnp.ndim(evaluate(fused["sigma_expr"], env)) == 0
+        except Exception:  # noqa: BLE001 — probe only; never block sampling
+            return False
+
     on_tpu = jax.default_backend() == "tpu"
     for bs in bart_static:
         kind = bs["fused"]["kind"] if bs["fused"] is not None else "custom"
@@ -652,7 +696,7 @@ def sample(
             # the row-tiled big-n kernel may still cover it (scalar-sigma
             # Gaussian models): then this is informational, not a slowdown
             bign_reason = bign_supported_reason(
-                bs["cfg"], bs["pg"], bs["X"], kind, True,
+                bs["cfg"], bs["pg"], bs["X"], kind, _sigma_is_scalar(bs),
                 bs["all_cont"], bs["x_nan"], C_hint=chains)
             if bign_reason is None and kind == "gauss":
                 continue  # rides the big-n kernel when sigma is scalar
@@ -1047,6 +1091,7 @@ def sample(
     if checkpoint_dir is not None and resume:
         found = ckpt_mod.latest_checkpoint(checkpoint_dir)
         if found is not None:
+            ckpt_mod.check_format(checkpoint_dir)
             path, step = found
             carry = ckpt_mod.load_checkpoint(path, carry)
             if step < tune:
@@ -1182,6 +1227,14 @@ def sample(
             if timings is not None and timings["draw_chunk_seconds"]:
                 timings["draw_chunk_seconds"][-1] += (
                     time.perf_counter() - final_t0)
+        if timings is not None:
+            # ACCURATE aggregate: measured after the final drain, so it
+            # blocks on every dispatched chunk and every host transfer.
+            # Per-chunk entries in overlap mode remain approximate
+            # (entry k = chunk k dispatch + chunk k-1 drain); consumers
+            # wanting exact steady-state rates should use this total
+            # minus the first (compile-carrying) entry.
+            timings["draw_seconds_total"] = time.perf_counter() - draw_t0
     finally:
         if profile_dir is not None:
             jax.profiler.stop_trace()
@@ -1201,9 +1254,14 @@ def sample(
 
     # -- build InferenceData -------------------------------------------------
     def _upcast(v):
-        # half-precision draw storage (posterior_dtype) returns to f32
-        return (v.astype(np.float32)
-                if v.dtype.itemsize == 2 and v.dtype.kind == "f" else v)
+        # half-precision draw storage (posterior_dtype) returns to f32.
+        # bfloat16 must be matched by name: numpy reports ml_dtypes'
+        # bfloat16 as kind 'V', not 'f' (round-4 ADVICE medium #2 — the
+        # kind check alone silently returned bfloat16 arrays)
+        if v.dtype.itemsize == 2 and (v.dtype.kind == "f"
+                                      or v.dtype.name == "bfloat16"):
+            return v.astype(np.float32)
+        return v
 
     if posterior_dtype is not None:
         values = {k_: _upcast(np.asarray(v_)) for k_, v_ in values.items()}

@@ -353,19 +353,26 @@ def _grow_round(rands, frozen, sv, sl, st, lf, ct, sp, leaf_idx, d: int, X,
         # shard's row attains the global per-node max
         seg_max = jax.lax.pmax(seg_max, data_axis)
     g_clip = jnp.clip(g_ids, 0, G - 1)
-    var_row = var_s[g_clip]                                   # (n,)
-    xval_row = jnp.take_along_axis(X, var_row[:, None], axis=1)[:, 0]
     is_win = in_lvl & (row_gum >= seg_max[g_clip])
-    nwin = jax.ops.segment_sum(
-        is_win.astype(jnp.float32), g_ids, num_segments=G + 1)[:G]
-    val_sum = jax.ops.segment_sum(
-        jnp.where(is_win, xval_row, 0.0), g_ids,
+    # deterministic tie-break: the MIN row index attaining the node max
+    # (float32 Gumbel ties occur at ~0.3% per node at n=50k; averaging
+    # the tying rows' values yielded an unobserved split value and broke
+    # bit-comparability with _grow_round_const / the Pallas kernels,
+    # which all take the first tying row — round-4 ADVICE low #3)
+    win_row = jax.ops.segment_min(
+        jnp.where(is_win, jnp.arange(n, dtype=jnp.int32), n), g_ids,
         num_segments=G + 1)[:G]
+    has_win = win_row < n
+    wr_c = jnp.clip(win_row, 0, n - 1)
+    val_s = X[wr_c, var_s]                       # (G,) tiny gather
     if data_axis is not None:
-        nwin = jax.lax.psum(nwin, data_axis)
-        val_sum = jax.lax.psum(val_sum, data_axis)
-    val_s = val_sum / jnp.maximum(nwin, 1.0)
-    val_s = jnp.where(jnp.isfinite(seg_max), val_s, jnp.nan)
+        # owner shard = the one holding the global per-node max (ties
+        # null across shards for continuous Gumbels); a NaN winner value
+        # rides the psum as NaN + 0 = NaN on every shard
+        val_s = jax.lax.psum(jnp.where(has_win, val_s, 0.0), data_axis)
+        has_win = jax.lax.psum(
+            has_win.astype(jnp.float32), data_axis) > 0.5
+    val_s = jnp.where(jnp.isfinite(seg_max) & has_win, val_s, jnp.nan)
     # hash-salted subset rule: the stored word is a raw SALT; the own
     # category is a member via split-value equality (ops/trees.py)
     st_s = rands["set_bits"]
@@ -881,8 +888,18 @@ def _bign_enabled(cfg: BartConfig, pg: PgbartConfig, X, gauss_w,
     env = _os.environ.get("PYMC_BART_TPU_BIGN")
     if env is not None and env in ("0", "false", "False"):
         return False
-    if env is None and jax.default_backend() != "tpu":
-        return False
+    if env is None:
+        if jax.default_backend() != "tpu":
+            return False
+        # An explicit PYMC_BART_TPU_PALLAS=0 means "force the non-Pallas
+        # XLA path" for the whole sampler (the CI sampler-path axis);
+        # without this check a megakernel-eligible config would skip the
+        # megakernel early-return below (since _pallas_enabled is False)
+        # and land in the big-n Pallas kernel instead (round-4 ADVICE
+        # medium #1).  An explicit BIGN=1 above still wins.
+        pallas_env = _os.environ.get("PYMC_BART_TPU_PALLAS")
+        if pallas_env is not None and pallas_env in ("0", "false", "False"):
+            return False
     if (fused_draw_supported(cfg, pg, X, gauss_w, lik)
             and _pallas_enabled(cfg, X)):
         return False  # the proven megakernel covers it
@@ -931,6 +948,80 @@ def pgbart_step(key, state: PgbartState, X, Y_target, rules,
 
     Returns (new_state, variable_inclusion_counts float32[p]).
     """
+    out = _pgbart_step_dispatch(
+        key, state, X, Y_target, rules, cfg, pg, loglik_fn, lik_params,
+        tuning, gauss_w, data_axis, lik, lik_const, all_cont, x_nan,
+        w_scalar)
+    if not pg.ancestor_sampling or cfg.response != "constant":
+        return out
+    # Retained-path rejuvenation (PgbartConfig.ancestor_sampling): valid
+    # grow/prune MH moves on the committed trees, composing with every
+    # sampler path as plain XLA on the returned state (see
+    # sampler/rejuvenate.py for the derivation and why literal PGAS is
+    # degenerate for trees).  fold_in (not split) keeps the main paths'
+    # RNG streams untouched, so ancestor_sampling=False is bit-identical
+    # to not having the feature at all.
+    from .rejuvenate import rejuvenate_forest
+
+    new_state, _vi = out
+    ll_of = _make_ll_of(loglik_fn, lik_params, gauss_w, lik, lik_const,
+                        Y_target.reshape(X.shape[0], cfg.n_outputs),
+                        data_axis)
+    k_rej = jax.random.fold_in(key, 0xA5CE57)
+    new_state = rejuvenate_forest(k_rej, new_state, X, Y_target, rules,
+                                  cfg, pg, ll_of, data_axis=data_axis)
+    vi = split_var_counts(new_state.forest, X.shape[1])
+    return new_state, vi
+
+
+def _make_ll_of(loglik_fn, lik_params, gauss_w, lik: str, lik_const: float,
+                Y_target, data_axis):
+    """Scalar model log-likelihood of one tree's candidate prediction
+    given the other trees' sum (``sum_noi``), matching the SMC weight
+    closed forms of ``_update_one_tree``/the kernels exactly."""
+    import jax.numpy as _jnp
+
+    def ll_of(sum_noi, pred):
+        if lik == "gauss" and gauss_w is not None:
+            resid = Y_target - sum_noi
+            diff = resid - pred
+            return _psum_scalar(-0.5 * _jnp.sum(gauss_w * diff * diff),
+                                data_axis)
+        if lik == "bernoulli":
+            F = sum_noi + pred
+            sp = _jnp.maximum(F, 0.0) + _jnp.log1p(_jnp.exp(-_jnp.abs(F)))
+            return _psum_scalar(_jnp.sum(Y_target * F - sp), data_axis)
+        if lik == "het_abs":
+            F = sum_noi + pred
+            sg = _jnp.abs(F) + lik_const
+            return _psum_scalar(
+                _jnp.sum(-0.5 * gauss_w / (sg * sg) - _jnp.log(sg)),
+                data_axis)
+        if lik == "het_exp":
+            F = sum_noi + pred
+            return _psum_scalar(
+                _jnp.sum(-0.5 * gauss_w * _jnp.exp(-2.0 * F) - F),
+                data_axis)
+        if lik == "cat_logit":
+            F = sum_noi + pred
+            lse = _jnp.maximum(F, gauss_w) + _jnp.log1p(
+                _jnp.exp(-_jnp.abs(F - gauss_w)))
+            y_here = (Y_target > 0).astype(_jnp.float32)
+            return _psum_scalar(_jnp.sum(y_here * F - lse), data_axis)
+        # generic model likelihood (row sharding is gated off upstream)
+        return loglik_fn(sum_noi + pred, lik_params)
+
+    return ll_of
+
+
+def _psum_scalar(v, data_axis):
+    return v if data_axis is None else jax.lax.psum(v, data_axis)
+
+
+def _pgbart_step_dispatch(key, state, X, Y_target, rules, cfg, pg,
+                          loglik_fn, lik_params, tuning, gauss_w,
+                          data_axis, lik, lik_const, all_cont, x_nan,
+                          w_scalar):
     if (data_axis is None
             and _bign_enabled(cfg, pg, X, gauss_w, lik, w_scalar,
                               all_cont, x_nan)):

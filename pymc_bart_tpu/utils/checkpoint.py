@@ -17,6 +17,14 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import numpy as np
 
+# Bump when stored-state SEMANTICS change, not just shapes: version 2 =
+# hash-salted Subset split words (0.4.0); version 1 = category-bitmask
+# Subset words (0.3.0).  Resuming a checkpoint across the change would
+# silently reinterpret subset-rule words as salts and alter routing
+# (round-4 ADVICE low #2), so ``sample(resume=True)`` refuses a
+# mismatched (or unstamped pre-0.4.0) checkpoint.
+FORMAT_VERSION = 2
+
 
 def _flatten_with_names(tree):
     leaves, treedef = jax.tree_util.tree_flatten(tree)
@@ -32,9 +40,37 @@ def save_checkpoint(directory: str, state, meta: Optional[Dict[str, Any]] = None
     tmp = path + ".tmp.npz"
     np.savez_compressed(tmp, **arrays)
     os.replace(tmp, path)
+    from .. import __version__
+
     with open(os.path.join(directory, "meta.json"), "w") as f:
-        json.dump({"step": step, **(meta or {})}, f)
+        json.dump({"step": step, "format_version": FORMAT_VERSION,
+                   "package_version": __version__, **(meta or {})}, f)
     return path
+
+
+def load_meta(directory: str) -> Dict[str, Any]:
+    """The meta.json written next to the checkpoints ({} if absent)."""
+    path = os.path.join(directory, "meta.json")
+    if not os.path.isfile(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def check_format(directory: str) -> None:
+    """Refuse to resume from a checkpoint whose stored-state semantics
+    do not match this build (see FORMAT_VERSION)."""
+    meta = load_meta(directory)
+    found = meta.get("format_version")
+    if found != FORMAT_VERSION:
+        raise ValueError(
+            f"checkpoint in {directory!r} has format_version={found!r} "
+            f"(this build writes {FORMAT_VERSION}; package "
+            f"{meta.get('package_version', '<unknown>')}).  Stored-state "
+            "semantics changed between formats (e.g. Subset split words "
+            "were category bitmasks in 0.3.0 and are hash salts since "
+            "0.4.0), so resuming would silently alter routing.  Restart "
+            "the run, or convert the checkpoint explicitly.")
 
 
 def latest_checkpoint(directory: str) -> Optional[Tuple[str, int]]:

@@ -23,7 +23,7 @@ import numpy as np
 mode = sys.argv[1] if len(sys.argv) > 1 else "both"
 
 if mode == "both":
-    for sub in ("mega", "rounds"):
+    for sub in ("mega", "rounds", "bign"):
         rc = subprocess.run([sys.executable, os.path.abspath(__file__), sub])
         if rc.returncode != 0:
             sys.exit(rc.returncode)
@@ -50,12 +50,12 @@ def loglik(f, params):
     return jnp.sum(-0.5 * (y - f) ** 2)
 
 
-def run(tag, gw):
+def run(tag, gw, **kw):
     t0 = time.perf_counter()
 
     def step(key, st):
         return pgbart.pgbart_step(key, st, X, Y, rules, cfg, pg,
-                                  loglik, (Y,), False, gauss_w=gw)
+                                  loglik, (Y,), False, gauss_w=gw, **kw)
 
     st0 = pgbart.init_state(X, Y, cfg)
     sts = jax.tree.map(lambda a: jnp.broadcast_to(a, (chains,) + a.shape), st0)
@@ -73,5 +73,11 @@ if mode == "mega":
 elif mode == "rounds":
     os.environ["PYMC_BART_TPU_MEGAKERNEL"] = "0"
     run("grow-rounds(vmap)", gauss_w)
+elif mode == "bign":
+    # force the row-tiled big-n kernel at smoke shapes: explicit BIGN=1
+    # overrides the megakernel-coverage early-return when PALLAS=0
+    os.environ["PYMC_BART_TPU_BIGN"] = "1"
+    os.environ["PYMC_BART_TPU_PALLAS"] = "0"
+    run("bign(vmap)", gauss_w, w_scalar=True, all_cont=True, x_nan=False)
 else:
     raise SystemExit(f"unknown mode {mode!r}")
