@@ -108,4 +108,4 @@ __all__ = [
     "set_data",
 ]
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"

@@ -77,19 +77,39 @@ def _bign_kernel(
     u_res_ref, u_sel_ref, u_acc_ref, seed_ref, w_ref,
     # VMEM inputs
     scal_i, sv_fi, sl_fi, lf_fi, ct_fi, tp_i, sum_i, yt_ref, xt_ref,
-    av_i, wfm_i, wfm2_i, ug_ref, uv_ref, eps_ref, epsr_ref, rg_ref,
+    av_i, wfm_i, wfm2_i, llw_ref, ug_ref, uv_ref, eps_ref, epsr_ref,
+    rg_ref,
     # VMEM outputs
     sv_fo, sl_fo, lf_fo, ct_fo, tp_o, sum_o, av_o, wfm_o, wfm2_o, scal_o,
-    # scratch
-    li_ref, resid_ref,
+    # scratch (pred_ref only allocated in the row-ll regime)
+    li_ref, resid_ref, pred_ref=None,
     *, C: int, B: int, P: int, D: int, S: int, n: int, NPAD: int, BN: int,
     p: int, m: int, R: int, alpha: float, beta: float, tuning: bool,
-    gen_gumbel: bool, spd: float,
+    gen_gumbel: bool, spd: float, lik: str = "gauss",
+    lik_const: float = 0.0,
 ):
-    """One grid step = one tree's conditional SMC for all C chains."""
+    """One grid step = one tree's conditional SMC for all C chains.
+
+    Two likelihood regimes:
+
+    * ``lik == "gauss"`` — the original sufficient-statistics path: SMC
+      weights, selection and refinement are node-space algebra on
+      per-node (count, sum r, sum r^2); NO per-row likelihood state.
+    * ``lik in ("bernoulli", "het_abs", "het_exp", "cat_logit")`` — the
+      ROW-LL regime (round-4 VERDICT "Next round" #5): the likelihood
+      does not collapse onto node statistics, so a per-particle row
+      prediction buffer (``pred_ref``, (C*P, NPAD)) is carried
+      incrementally and a third chunked pass per level heals the
+      routing, updates predictions and accumulates the exact row
+      log-likelihood (same closed forms as the megakernel's
+      ``ll_cols``).  Metropolis leaf refinements are not available in
+      this regime (the gate requires ``num_refinements == 0``; pair
+      with ``ancestor_sampling`` for value mixing).
+    """
     CP = C * P
     NB = NPAD // BN
     bi = pl.program_id(0)
+    rowll = lik != "gauss"
 
     @pl.when(bi == 0)
     def _copy_in():
@@ -201,26 +221,58 @@ def _bign_kernel(
     rq_v = mm(E, root_q_C) * root_col                  # (CP, S) sum r^2
     lm_v = jnp.broadcast_to(root_col, (CP, S)) * 1.0   # leaf mask
 
-    def stats_ll(lfx, ctx, rsx, rqx, lmx):
-        """(CP,) exact Gaussian ll lanes from per-node stats."""
-        q = lmx * (rqx - 2.0 * lfx * rsx + lfx * lfx * ctx)
-        col = -0.5 * w_cp * jnp.sum(q, axis=1, keepdims=True)
-        eye = (rPP == cPP).astype(jnp.float32)
+    eyeCP = (rPP == cPP).astype(jnp.float32)
+
+    def col_to_lanes(col):
+        """(CP, 1) f32 column -> (CP,) lane row via a diag matmul."""
         return jax.lax.dot_general(
-            jnp.ones((1, CP), jnp.float32), col * eye,
+            jnp.ones((1, CP), jnp.float32), col * eyeCP,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)[0]
 
-    ll = stats_ll(lf_v, ct_v, rs_v, rq_v, lm_v)
-    log_w = ll
-    ll_prev = ll
-    take = idxCP
+    def stats_ll(lfx, ctx, rsx, rqx, lmx):
+        """(CP,) exact Gaussian ll lanes from per-node stats."""
+        q = lmx * (rqx - 2.0 * lfx * rsx + lfx * lfx * ctx)
+        return col_to_lanes(-0.5 * w_cp * jnp.sum(q, axis=1, keepdims=True))
 
     # per-tree node-level randoms
     ug_t = ug_ref[0]
     uv_t = uv_ref[0]
     eps_t = eps_ref[0]
     iota_BN_row = jax.lax.broadcasted_iota(jnp.int32, (CP, BN), 1)
+
+    if rowll:
+        # per-particle initial prediction: frozen -> stored root leaf
+        # (depth-0 truncation), fresh -> root residual mean / m
+        froot = jnp.sum(lf_exp * root_col, axis=1, keepdims=True)
+        pred0 = frozen_f * froot + nonfroz_f * root_cp      # (CP, 1)
+
+    def ll_rows_chunk(nb, pred_c):
+        """(CP, 1) exact row log-likelihood of chunk ``nb`` given the
+        chunk's per-particle predictions (the megakernel's ``ll_cols``
+        closed forms, chunked; padding rows contribute 0)."""
+        sl_nb = pl.ds(nb * BN, BN)
+        y_nb = yt_ref[:, sl_nb]                          # (1, BN) shared
+        noi_c = y_nb - resid_ref[:, sl_nb]               # (C, BN)
+        F = mm(E, noi_c) + pred_c                        # (CP, BN)
+        if lik == "bernoulli":
+            spv = jnp.maximum(F, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(F)))
+            llr = y_nb * F - spv
+        elif lik == "het_abs":
+            w_e = mm(E, llw_ref[:, sl_nb])
+            sg = jnp.abs(F) + lik_const
+            llr = -0.5 * w_e / (sg * sg) - jnp.log(sg)
+        elif lik == "het_exp":
+            w_e = mm(E, llw_ref[:, sl_nb])
+            llr = -0.5 * w_e * jnp.exp(-2.0 * F) - F
+        else:  # cat_logit: llw = logsumexp of the other class outputs
+            w_e = mm(E, llw_ref[:, sl_nb])
+            lse = jnp.maximum(F, w_e) + jnp.log1p(
+                jnp.exp(-jnp.abs(F - w_e)))
+            llr = (y_nb > 0).astype(jnp.float32) * F - lse
+        col = iota_BN_row + nb * BN
+        llr = jnp.where(col < n, llr, 0.0)
+        return jnp.sum(llr, axis=1, keepdims=True)       # (CP, 1)
 
     def gumbel_chunk(d, nb):
         if gen_gumbel:
@@ -237,13 +289,24 @@ def _bign_kernel(
     # route-heal state from the previous level (level -1: nothing)
     prev = {"act": None, "lo": 0, "G": 0}
 
-    # initialize li: 0 for real rows, S (out of range) for padding
-    def init_body(nb, _):
+    # initialize li (0 for real rows, S for padding); in row-ll mode also
+    # the prediction buffer and the initial row log-likelihood
+    def init_body(nb, acc):
         col = iota_BN_row + nb * BN
         li_ref[:, pl.ds(nb * BN, BN)] = jnp.where(col < n, 0, S)
-        return 0
+        if rowll:
+            pc = pred0 + jnp.zeros((CP, BN), jnp.float32)
+            pred_ref[:, pl.ds(nb * BN, BN)] = pc
+            acc = acc + ll_rows_chunk(nb, pc)
+        return acc
 
-    jax.lax.fori_loop(0, NB, init_body, 0, unroll=False)
+    acc0 = jax.lax.fori_loop(0, NB, init_body,
+                             jnp.zeros((CP, 1), jnp.float32), unroll=False)
+    ll = (col_to_lanes(acc0) if rowll
+          else stats_ll(lf_v, ct_v, rs_v, rq_v, lm_v))
+    log_w = ll
+    ll_prev = ll
+    take = idxCP
 
     for d in range(D):
         lo, hi = 2 ** d - 1, 2 ** (d + 1) - 1
@@ -290,8 +353,9 @@ def _bign_kernel(
             run_mx, run_val = carry
             sl_nb = pl.ds(nb * BN, BN)
             li_c = li_ref[:, sl_nb]
-            if pact is not None:
-                # heal: revert children of reverted parents
+            if (not rowll) and pact is not None:
+                # heal: revert children of reverted parents (row-ll mode
+                # heals eagerly in its own pass 3 instead)
                 in_ch = (li_c >= phi) & (li_c < phi + 2 * pG)
                 par = (li_c - 1) >> 1
                 actf = jnp.zeros((CP, BN), jnp.float32)
@@ -302,6 +366,8 @@ def _bign_kernel(
             # relabel particles for the pending resample
             li_c = mm(A, li_c.astype(jnp.float32)).astype(jnp.int32)
             li_ref[:, sl_nb] = li_c
+            if rowll:
+                pred_ref[:, sl_nb] = mm(A, pred_ref[:, sl_nb])
             rg_c = gumbel_chunk(d, nb)
             x_nb = xt_ref[:, sl_nb]                     # (p, BN)
             for g in range(G):
@@ -483,7 +549,60 @@ def _bign_kernel(
             lm_v = jax.lax.cond(node_busy[g] > 0.5, _par,
                                 lambda a: a, lm_v)
 
-        ll = stats_ll(lf_v, ct_v, rs_v, rq_v, lm_v)
+        if rowll:
+            # ---- Pass 3 (row-ll only): heal this level's routing with
+            # the final activation flags, update per-row predictions to
+            # the committed child leaf values, and accumulate the exact
+            # row log-likelihood (the gauss path needs none of this —
+            # its ll is node-stats algebra and healing is lazy) ----
+            lf_ch_l, lf_ch_r, act_ok = [], [], []
+            for g in range(G):
+                l_slot = 2 * (lo + g) + 1
+                lcolf = (iota_S_row == l_slot).astype(jnp.float32)
+                rcolf = (iota_S_row == l_slot + 1).astype(jnp.float32)
+                lf_ch_l.append(jnp.sum(lf_v * lcolf, axis=1,
+                                       keepdims=True))
+                lf_ch_r.append(jnp.sum(lf_v * rcolf, axis=1,
+                                       keepdims=True))
+                act_ok.append(jnp.sum(
+                    act_fin * (iota_G_row == g), axis=1, keepdims=True))
+
+            def p3_body(nb, acc):
+                sl_nb = pl.ds(nb * BN, BN)
+                li_c = li_ref[:, sl_nb]
+                pred_c = pred_ref[:, sl_nb]
+                for g in range(G):
+                    node = lo + g
+
+                    def _upd(args):
+                        li_c, pred_c = args
+                        l_slot = 2 * node + 1
+                        in_l = (li_c == l_slot).astype(jnp.float32)
+                        in_r = (li_c == l_slot + 1).astype(jnp.float32)
+                        a_ok = (act_ok[g] > 0.5).astype(jnp.float32)
+                        rev = (in_l + in_r) * (1.0 - a_ok)
+                        rev_i = rev.astype(jnp.int32)
+                        li_c = rev_i * node + (1 - rev_i) * li_c
+                        sel_l = in_l * a_ok
+                        sel_r = in_r * a_ok
+                        pred_c = (sel_l * lf_ch_l[g]
+                                  + sel_r * lf_ch_r[g]
+                                  + (1.0 - sel_l - sel_r) * pred_c)
+                        return (li_c, pred_c)
+
+                    li_c, pred_c = jax.lax.cond(
+                        node_busy[g] > 0.5, _upd, lambda a: a,
+                        (li_c, pred_c))
+                li_ref[:, sl_nb] = li_c
+                pred_ref[:, sl_nb] = pred_c
+                return acc + ll_rows_chunk(nb, pred_c)
+
+            acc_d = jax.lax.fori_loop(
+                0, NB, p3_body, jnp.zeros((CP, 1), jnp.float32),
+                unroll=False)
+            ll = col_to_lanes(acc_d)
+        else:
+            ll = stats_ll(lf_v, ct_v, rs_v, rq_v, lm_v)
         lw1 = log_w + ll - ll_prev
         prev = {"act": act_fin, "lo": lo, "G": G}
 
@@ -573,16 +692,19 @@ def _bign_kernel(
             dev = lf_x - prior_center
             return -hiv * jnp.sum(leaf_mask * dev * dev)
 
-        ll_c = ll_leaves(lf_w) + lp_of(lf_w)
-        eps_scale = 0.3 * ls_c
-        for r_i in range(R):
-            eps_row = epsr_ref[0, pl.ds(r_i * C + c, 1), :]
-            lf_p = lf_w + eps_row * eps_scale * leaf_mask
-            ll_p = ll_leaves(lf_p) + lp_of(lf_p)
-            acc = jnp.log(u_acc_ref[c, bi * R + r_i]) < (ll_p - ll_c)
-            accf = acc.astype(jnp.float32)
-            lf_w = accf * lf_p + (1.0 - accf) * lf_w
-            ll_c = jnp.where(acc, ll_p, ll_c)
+        if not rowll:
+            # stats-based Metropolis refinement (gauss only; the row-ll
+            # gate requires num_refinements == 0)
+            ll_c = ll_leaves(lf_w) + lp_of(lf_w)
+            eps_scale = 0.3 * ls_c
+            for r_i in range(R):
+                eps_row = epsr_ref[0, pl.ds(r_i * C + c, 1), :]
+                lf_p = lf_w + eps_row * eps_scale * leaf_mask
+                ll_p = ll_leaves(lf_p) + lp_of(lf_p)
+                acc = jnp.log(u_acc_ref[c, bi * R + r_i]) < (ll_p - ll_c)
+                accf = acc.astype(jnp.float32)
+                lf_w = accf * lf_p + (1.0 - accf) * lf_w
+                ll_c = jnp.where(acc, ll_p, ll_c)
         lfw_rows.append(lf_w)
 
         # commit winner into the chain's forest
@@ -623,19 +745,30 @@ def _bign_kernel(
 
     def pf_body(nb, sd_acc):
         sl_nb = pl.ds(nb * BN, BN)
-        li_c = li_ref[:, sl_nb]
-        li_w = mm(wsel_C, li_c.astype(jnp.float32)).astype(jnp.int32)
-        in_ch = (li_w >= phi) & (li_w < S)
-        par = (li_w - 1) >> 1
-        actf = jnp.zeros((C, BN), jnp.float32)
-        for g in range(pG):
-            actf = actf + (par == plo_ + g).astype(jnp.float32) \
-                * act_w[:, g:g + 1]
-        li_w = jnp.where(in_ch & (actf < 0.5), par, li_w)
-        # prediction = leaf value at the (refined) winner leaf
-        pred = jnp.zeros((C, BN), jnp.float32)
-        for s in range(S):
-            pred = pred + (li_w == s).astype(jnp.float32) * lfw_C[:, s:s + 1]
+        if rowll:
+            # row-ll mode: routing was healed and predictions committed
+            # by each level's pass 3 and there is no refinement, so the
+            # winner's prediction is a direct row extraction.  Padding
+            # rows must commit 0 (the next tree's root sums reduce over
+            # the whole padded buffer).
+            pred = mm(wsel_C, pred_ref[:, sl_nb])
+            colp = iota_BN_row[:C, :] + nb * BN
+            pred = jnp.where(colp < n, pred, 0.0)
+        else:
+            li_c = li_ref[:, sl_nb]
+            li_w = mm(wsel_C, li_c.astype(jnp.float32)).astype(jnp.int32)
+            in_ch = (li_w >= phi) & (li_w < S)
+            par = (li_w - 1) >> 1
+            actf = jnp.zeros((C, BN), jnp.float32)
+            for g in range(pG):
+                actf = actf + (par == plo_ + g).astype(jnp.float32) \
+                    * act_w[:, g:g + 1]
+            li_w = jnp.where(in_ch & (actf < 0.5), par, li_w)
+            # prediction = leaf value at the (refined) winner leaf
+            pred = jnp.zeros((C, BN), jnp.float32)
+            for s in range(S):
+                pred = pred + (li_w == s).astype(jnp.float32) \
+                    * lfw_C[:, s:s + 1]
         tp_old = tp_i[0, :, sl_nb]
         sum_c = sum_o[:, sl_nb]
         sum_o[:, sl_nb] = sum_c - tp_old + pred
@@ -679,12 +812,18 @@ def _bign_kernel(
 # ---------------------------------------------------------------------------
 
 
-def _vmem_fits(C: int, P: int, n: int, p: int) -> bool:
+def _vmem_fits(C: int, P: int, n: int, p: int,
+               rowll: bool = False) -> bool:
     """Rough VMEM budget for C chains in one big-n kernel instance: the
-    (C*P, n) li scratch + (p, n) X + ~9 (C, n) row buffers + slack."""
+    (C*P, n) li scratch + (p, n) X + ~9 (C, n) row buffers + slack; the
+    row-ll regime adds a second (C*P, n) prediction scratch."""
     CP = C * P
-    return (CP * n * 4 + p * n * 4 + 9 * C * n * 4
+    extra = CP * n * 4 if rowll else 0
+    return (CP * n * 4 + extra + p * n * 4 + 9 * C * n * 4
             + 2_000_000) <= 13_000_000
+
+
+_ROWLL_LIKS = ("bernoulli", "het_abs", "het_exp", "cat_logit")
 
 
 def bign_supported_reason(cfg: BartConfig, pg: PgbartConfig, X, lik: str,
@@ -695,11 +834,17 @@ def bign_supported_reason(cfg: BartConfig, pg: PgbartConfig, X, lik: str,
     The kernel is only engaged where the ordinary megakernel gates OUT
     (large n); the caller checks that separately.
     """
-    if lik != "gauss":
-        return f"big-n kernel covers the Gaussian likelihood (lik={lik!r})"
-    if not w_scalar:
+    if lik != "gauss" and lik not in _ROWLL_LIKS:
+        return ("big-n kernel covers the gauss/bernoulli/het/cat_logit "
+                f"likelihood codes (lik={lik!r})")
+    if lik == "gauss" and not w_scalar:
         return ("big-n kernel needs a scalar per-chain noise precision "
                 "(sigma must be a scalar random variable)")
+    if lik in _ROWLL_LIKS and pg.num_refinements != 0:
+        return ("big-n kernel covers non-Gaussian likelihoods only with "
+                "num_refinements=0 (leaf refinement does not collapse to "
+                "node statistics at large n; pair with ancestor_sampling "
+                "for value mixing)")
     if cfg.response != "constant":
         return f"response={cfg.response!r} (big-n kernel covers 'constant')"
     if cfg.n_outputs != 1:
@@ -713,7 +858,8 @@ def bign_supported_reason(cfg: BartConfig, pg: PgbartConfig, X, lik: str,
         return f"p={p} (big-n kernel covers p <= 512)"
     # even a single chain must fit VMEM (the chains wrapper splits
     # larger chain counts into sequential single-chain kernel calls)
-    if not _vmem_fits(C_hint, pg.num_particles, n, p):
+    if not _vmem_fits(C_hint, pg.num_particles, n, p,
+                      rowll=lik in _ROWLL_LIKS):
         CP = C_hint * pg.num_particles
         return (f"row state (C*P={CP} x n={n} assignment + X) exceeds the "
                 "VMEM budget")
@@ -731,8 +877,13 @@ def _pad_to(a, npad, axis, fill=0.0):
 
 def _bign_chains_impl(keys, state, X, Y_target, cfg: BartConfig,
                       pg: PgbartConfig, w_chain, tuning: bool,
-                      rng_mode: str):
-    """Run one PGBART step for C chains in ONE big-n kernel instance."""
+                      rng_mode: str, lik: str = "gauss",
+                      lik_const: float = 0.0, llw=None):
+    """Run one PGBART step for C chains in ONE big-n kernel instance.
+
+    ``lik``/``lik_const``: likelihood code (see the kernel docstring);
+    ``llw``: (C, n) per-row likelihood data for the het/cat codes
+    ((y - mu0)^2 or the other-outputs logsumexp), None otherwise."""
     from ..sampler.pgbart import PgbartState
     from ..ops.trees import Forest
     from ..ops.draw_pallas import _rands_batched, _rands_reference
@@ -805,11 +956,15 @@ def _bign_chains_impl(keys, state, X, Y_target, cfg: BartConfig,
         jax.ShapeDtypeStruct((C, NPAD), jnp.float32),   # wfm2
         jax.ShapeDtypeStruct((C, 4), jnp.float32),      # scal
     ]
+    rowll = lik in _ROWLL_LIKS
+    llw_pad = (_pad_to(llw.reshape(C, n), NPAD, axis=1)
+               if llw is not None else jnp.zeros((C, NPAD), jnp.float32))
     kernel = functools.partial(
         _bign_kernel, C=C, B=B, P=P, D=D, S=S, n=n, NPAD=NPAD, BN=BN,
         p=p, m=m, R=R, alpha=float(cfg.alpha), beta=float(cfg.beta),
         tuning=tuning, gen_gumbel=gen_gumbel,
-        spd=float(pg.split_prior_decay),
+        spd=float(pg.split_prior_decay), lik=lik,
+        lik_const=float(lik_const),
     )
 
     def full(shape):
@@ -836,6 +991,7 @@ def _bign_chains_impl(keys, state, X, Y_target, cfg: BartConfig,
             full((C * m, S)), full((C * m, S)),
             tp_spec, full((C, NPAD)), full((1, NPAD)), full((p, NPAD)),
             full((C, p)), full((C, NPAD)), full((C, NPAD)),
+            full((C, NPAD)),
             per_tree(ug.shape), per_tree(uv.shape), per_tree(eps.shape),
             per_tree(epsr.shape), per_tree(rg.shape),
         ],
@@ -847,8 +1003,10 @@ def _bign_chains_impl(keys, state, X, Y_target, cfg: BartConfig,
             full((C, NPAD)), full((C, p)), full((C, NPAD)),
             full((C, NPAD)), full((C, 4)),
         ],
-        scratch_shapes=[pltpu.VMEM((CP, NPAD), jnp.int32),
-                        pltpu.VMEM((C, NPAD), jnp.float32)],
+        scratch_shapes=(
+            [pltpu.VMEM((CP, NPAD), jnp.int32),
+             pltpu.VMEM((C, NPAD), jnp.float32)]
+            + ([pltpu.VMEM((CP, NPAD), jnp.float32)] if rowll else [])),
     )
     out = pl.pallas_call(
         kernel,
@@ -863,7 +1021,7 @@ def _bign_chains_impl(keys, state, X, Y_target, cfg: BartConfig,
         f.leaf.reshape(C * m, S), f.count.reshape(C * m, S),
         tp_mcn, sum_pad, yt_pad, xt_pad,
         state.alpha_vec.reshape(C, p),
-        wfm_pad, wfm2_pad,
+        wfm_pad, wfm2_pad, llw_pad,
         ug, uv, eps, epsr, rg,
     )
     (sv_o, sl_o, lf_o, ct_o, tp_new, sum_o, av_o, wfm_o, wfm2_o,
@@ -906,24 +1064,31 @@ def _bign_chains_impl(keys, state, X, Y_target, cfg: BartConfig,
 
 @functools.lru_cache(maxsize=None)
 def _bign_step_cached(cfg: BartConfig, pg: PgbartConfig, tuning: bool,
-                      rng_mode: str):
+                      rng_mode: str, lik: str, lik_const: float,
+                      with_llw: bool):
     from jax import custom_batching
 
-    def single(key, state, X, Y_target, w_chain):
+    rowll = lik in _ROWLL_LIKS
+
+    def single(key, state, X, Y_target, w_chain, llw):
         lead = lambda a: a[None]
         st1 = jax.tree.map(lead, state)
         out_state, vi = _bign_chains_impl(
             key[None], st1, X, Y_target, cfg, pg, w_chain[None], tuning,
-            rng_mode)
+            rng_mode, lik, lik_const,
+            None if llw is None else llw[None])
         return jax.tree.map(lambda a: a[0], out_state), vi[0]
 
     step = custom_batching.custom_vmap(single)
 
     @step.def_vmap
-    def _rule(axis_size, in_batched, key, state, X, Y_target, w_chain):
-        kb, sb_, xb, yb, wb = in_batched
+    def _rule(axis_size, in_batched, key, state, X, Y_target, w_chain,
+              llw):
+        kb, sb_, xb, yb, wb, lb = in_batched
         n, p_ = X.shape if not xb else X.shape[1:]
-        if xb or yb or not _vmem_fits(axis_size, pg.num_particles, n, p_):
+        if (xb or yb
+                or not _vmem_fits(axis_size, pg.num_particles, n, p_,
+                                  rowll=rowll)):
             # per-chain sequential kernel calls (each still row-tiled)
             def bc(x, b):
                 return x if b else jax.tree.map(
@@ -931,7 +1096,8 @@ def _bign_step_cached(cfg: BartConfig, pg: PgbartConfig, tuning: bool,
                         a, (axis_size,) + jnp.shape(a)), x)
             args = (bc(key, kb),
                     jax.tree.map(lambda a, b: bc(a, b), state, sb_),
-                    bc(X, xb), bc(Y_target, yb), bc(w_chain, wb))
+                    bc(X, xb), bc(Y_target, yb), bc(w_chain, wb),
+                    None if llw is None else bc(llw, lb))
             outs = jax.lax.map(lambda a: single(*a), args)
             return outs, (jax.tree.map(lambda _: True, outs[0]), True)
 
@@ -941,8 +1107,10 @@ def _bign_step_cached(cfg: BartConfig, pg: PgbartConfig, tuning: bool,
         keys_C = bcl(key, kb)
         state_C = jax.tree.map(bcl, state, sb_)
         w_C = bcl(w_chain, wb)
+        llw_C = None if llw is None else bcl(llw, lb)
         outs = _bign_chains_impl(keys_C, state_C, X, Y_target, cfg, pg,
-                                 w_C, tuning, rng_mode)
+                                 w_C, tuning, rng_mode, lik, lik_const,
+                                 llw_C)
         return outs, (jax.tree.map(lambda _: True, outs[0]), True)
 
     return step
@@ -950,9 +1118,13 @@ def _bign_step_cached(cfg: BartConfig, pg: PgbartConfig, tuning: bool,
 
 def pgbart_step_bign(key, state, X, Y_target, cfg: BartConfig,
                      pg: PgbartConfig, w_chain, tuning: bool,
-                     rng_mode: str = "batched"):
+                     rng_mode: str = "batched", lik: str = "gauss",
+                     lik_const: float = 0.0, llw=None):
     """One full PGBART MCMC step for LARGE n (one chain; vmap batches all
     chains into one kernel instance).  ``w_chain``: (1,) scalar Gaussian
-    precision for this chain.  See the module docstring for scope."""
-    step = _bign_step_cached(cfg, pg, bool(tuning), rng_mode)
-    return step(key, state, X, Y_target, w_chain)
+    precision for this chain (zeros for the row-ll codes); ``llw``:
+    optional (n,) per-row likelihood data for the het/cat codes.  See
+    the module docstring for scope."""
+    step = _bign_step_cached(cfg, pg, bool(tuning), rng_mode, lik,
+                             float(lik_const), llw is not None)
+    return step(key, state, X, Y_target, w_chain, llw)

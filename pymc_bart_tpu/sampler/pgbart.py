@@ -1027,12 +1027,20 @@ def _pgbart_step_dispatch(key, state, X, Y_target, rules, cfg, pg,
                               all_cont, x_nan)):
         from ..ops.bign_pallas import pgbart_step_bign
 
-        # large n: the row-tiled kernel (only reached when gauss_w is a
-        # per-chain scalar broadcast — w_scalar is set by the caller from
-        # the STATIC model structure, sigma being a scalar RV)
-        w_chain = gauss_w.reshape(-1)[0:1]
+        # large n: the row-tiled kernel.  gauss rides the sufficient-
+        # statistics regime (gauss_w is a per-chain scalar broadcast —
+        # w_scalar is set by the caller from the STATIC model structure);
+        # bernoulli/het/cat_logit ride the row-ll regime (round-5)
+        if lik == "gauss":
+            w_chain = gauss_w.reshape(-1)[0:1]
+            llw = None
+        else:
+            w_chain = jnp.zeros((1,), jnp.float32)
+            llw = (None if lik == "bernoulli"
+                   else gauss_w.reshape(X.shape[0]))
         return pgbart_step_bign(key, state, X, Y_target, cfg, pg,
-                                w_chain, tuning)
+                                w_chain, tuning, lik=lik,
+                                lik_const=lik_const, llw=llw)
     if data_axis is None and _megakernel_enabled(cfg, pg, X, gauss_w, lik):
         from ..ops.draw_pallas import pgbart_step_fused
 

@@ -236,6 +236,67 @@ def _one_move(key, sv, sl, st, lf, ct, pred, X, resid, sum_noi,
         pred2 = jnp.where(acc, pred_new, pred)
         return sv2, sl2, st2, lf2, ct2, pred2
 
+    def change_branch(_):
+        """CGM "change" move: re-draw (var, value, children values) of a
+        node whose children are leaves, structure fixed.  Proposal ≡ the
+        prior factors for the re-drawn components in BOTH directions, so
+        the acceptance is the bare likelihood ratio.  This is the move
+        that re-carves the partition locally — the per-row mixing
+        lever the grow/prune pair alone lacks."""
+        node, _cnt = _pick(prune_cand, gS)
+        mask = _rows_at_node(sv, sl, st, rules, X, node, D)
+        cnt = ct[node]
+
+        var = jnp.clip(
+            jnp.searchsorted(alpha_cdf, u_var * alpha_cdf[-1]),
+            0, p - 1).astype(jnp.int32)
+        xcol = _col(X, var)
+        sc = jnp.where(mask, row_gum, -jnp.inf)
+        mx = jnp.max(sc)
+        if data_axis is not None:
+            mx = jax.lax.pmax(mx, data_axis)
+        win = (sc >= mx) & mask
+        ridx = jnp.min(jnp.where(win, iota_n, n))
+        has_win = ridx < n
+        val_loc = jnp.where(has_win, xcol[jnp.clip(ridx, 0, n - 1)], 0.0)
+        val = _psum(jnp.where(has_win, val_loc, 0.0), data_axis)
+        val = jnp.where(
+            _psum(has_win.astype(jnp.float32), data_axis) > 0.5,
+            val, jnp.nan)
+
+        left = mask & decide_left(xcol, val, salt, rules[var])
+        cl = _psum(jnp.sum(left.astype(jnp.float32)), data_axis)
+        cr = cnt - cl
+        rs_l = _psum(jnp.sum(jnp.where(left[:, None], resid, 0.0),
+                             axis=0), data_axis)
+        rs_t = _psum(jnp.sum(jnp.where(mask[:, None], resid, 0.0),
+                             axis=0), data_axis)
+        rs_r = rs_t - rs_l
+        mu_l = rs_l / jnp.maximum(cl, 1.0) / m + eps[0] * leaf_sd
+        mu_r = rs_r / jnp.maximum(cr, 1.0) / m + eps[1] * leaf_sd
+
+        pred_new = jnp.where(
+            mask[:, None],
+            jnp.where(left[:, None], mu_l[None, :], mu_r[None, :]),
+            pred)
+        dll = ll_of(sum_noi, pred_new) - ll_of(sum_noi, pred)
+        ok = (n_prune > 0.5) & (cl > 0.5) & (cr > 0.5)
+        acc = ok & (jnp.log(u_acc) < dll)
+        accf = acc.astype(jnp.float32)
+
+        l_i, r_i = 2 * node + 1, 2 * node + 2
+        one_n = (iota_S == node).astype(jnp.float32) * accf
+        one_l = (iota_S == l_i).astype(jnp.float32) * accf
+        one_r = (iota_S == r_i).astype(jnp.float32) * accf
+        sv2 = jnp.where(one_n > 0.5, var, sv)
+        sl2 = jnp.where(one_n > 0.5, val, sl)
+        st2 = jnp.where(one_n > 0.5, salt, st)
+        ct2 = jnp.where(one_l > 0.5, cl, jnp.where(one_r > 0.5, cr, ct))
+        lf2 = jnp.where(one_l[:, None] > 0.5, mu_l[None, :],
+                        jnp.where(one_r[:, None] > 0.5, mu_r[None, :], lf))
+        pred2 = jnp.where(acc, pred_new, pred)
+        return sv2, sl2, st2, lf2, ct2, pred2
+
     def prune_branch(_):
         node, _cnt = _pick(prune_cand, gS)
         d = depth_arr[node].astype(jnp.float32)
@@ -276,8 +337,14 @@ def _one_move(key, sv, sl, st, lf, ct, pred, X, resid, sum_noi,
         pred2 = jnp.where(acc, pred_new, pred)
         return sv2, sl, st, lf2, ct2, pred2
 
-    is_grow = jax.random.uniform(k_move, ()) < 0.5
-    return jax.lax.cond(is_grow, grow_branch, prune_branch, 0)
+    # Move mixture: grow 0.25, prune 0.25 (equal, so the move-choice
+    # probabilities cancel in the grow<->prune reversal pair), change
+    # 0.5 (self-inverse).  The change move dominates because it is the
+    # per-row mixing lever; grow/prune set the dimension.
+    u_move = jax.random.uniform(k_move, ())
+    midx = jnp.where(u_move < 0.25, 0, jnp.where(u_move < 0.5, 1, 2))
+    return jax.lax.switch(midx, [grow_branch, prune_branch,
+                                 change_branch], 0)
 
 
 def rejuvenate_forest(key, state, X, Y_target, rules, cfg: BartConfig,

@@ -273,6 +273,10 @@ def main():
     ap.add_argument("--n", type=int, default=1000)
     ap.add_argument("--p", type=int, default=10)
     ap.add_argument("--side", choices=["twin", "engine"], default="twin")
+    ap.add_argument("--refinements", type=int, default=0,
+                    help="engine-side num_refinements (twin has none)")
+    ap.add_argument("--harmonize", action="store_true")
+    ap.add_argument("--ancestor", action="store_true")
     args = ap.parse_args()
 
     X, Y, f_true = friedman(args.n, args.p)
@@ -289,6 +293,9 @@ def main():
                                chains=args.chains, random_seed=0,
                                num_particles=args.particles,
                                batch=(args.batch, args.batch),
+                               num_refinements=args.refinements,
+                               harmonize_adaptation=args.harmonize,
+                               ancestor_sampling=args.ancestor,
                                store_trees=False)
         mu_s = idata.posterior["mu"].values        # (chains, draws, n)
         sg_s = idata.posterior["sigma"].values

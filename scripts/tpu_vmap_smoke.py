@@ -23,7 +23,7 @@ import numpy as np
 mode = sys.argv[1] if len(sys.argv) > 1 else "both"
 
 if mode == "both":
-    for sub in ("mega", "rounds", "bign"):
+    for sub in ("mega", "rounds", "bign", "bignbern"):
         rc = subprocess.run([sys.executable, os.path.abspath(__file__), sub])
         if rc.returncode != 0:
             sys.exit(rc.returncode)
@@ -50,12 +50,14 @@ def loglik(f, params):
     return jnp.sum(-0.5 * (y - f) ** 2)
 
 
-def run(tag, gw, **kw):
+def run(tag, gw, pg_=None, Y_=None, **kw):
     t0 = time.perf_counter()
+    pgc = pg_ or pg
+    Yv = Y if Y_ is None else Y_
 
     def step(key, st):
-        return pgbart.pgbart_step(key, st, X, Y, rules, cfg, pg,
-                                  loglik, (Y,), False, gauss_w=gw, **kw)
+        return pgbart.pgbart_step(key, st, X, Yv, rules, cfg, pgc,
+                                  loglik, (Yv,), False, gauss_w=gw, **kw)
 
     st0 = pgbart.init_state(X, Y, cfg)
     sts = jax.tree.map(lambda a: jnp.broadcast_to(a, (chains,) + a.shape), st0)
@@ -79,5 +81,14 @@ elif mode == "bign":
     os.environ["PYMC_BART_TPU_BIGN"] = "1"
     os.environ["PYMC_BART_TPU_PALLAS"] = "0"
     run("bign(vmap)", gauss_w, w_scalar=True, all_cont=True, x_nan=False)
+elif mode == "bignbern":
+    # row-ll regime of the big-n kernel (bernoulli; needs R=0)
+    os.environ["PYMC_BART_TPU_BIGN"] = "1"
+    os.environ["PYMC_BART_TPU_PALLAS"] = "0"
+    pg0 = PgbartConfig(num_particles=8, batch=(0.5, 0.5),
+                       num_refinements=0)
+    Yb = (Y > 0).astype(jnp.float32)
+    run("bign-bernoulli(vmap)", None, pg_=pg0, Y_=Yb, lik="bernoulli",
+        all_cont=True, x_nan=False)
 else:
     raise SystemExit(f"unknown mode {mode!r}")

@@ -82,6 +82,85 @@ def test_bign_matches_megakernel_over_steps():
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("lik", ["bernoulli", "het_abs"])
+def test_bign_rowll_matches_megakernel(lik):
+    """Row-ll regime (non-Gaussian likelihoods, round-5): identical tree
+    structures and float state vs the megakernel under the shared
+    reference RNG sequence, across tuning and draw steps.  Refinements
+    are off (the row-ll gate requires it)."""
+    n = 300
+    rng = np.random.default_rng(9)
+    X = jnp.asarray(rng.uniform(size=(n, 3)).astype(np.float32))
+    if lik == "bernoulli":
+        labels = (rng.uniform(size=n) < 0.5 + 0.4 * np.asarray(X[:, 0] > 0.5)
+                  ).astype(np.float32)
+        Y = jnp.asarray(labels)[:, None]
+        gw_mega = None
+        llw = None
+    else:
+        yobs = rng.normal(size=n).astype(np.float32)
+        mu0 = np.zeros(n, np.float32)
+        row = ((yobs - mu0) ** 2).astype(np.float32)
+        Y = jnp.asarray(yobs)[:, None]
+        gw_mega = jnp.asarray(row)[:, None]
+        llw = jnp.asarray(row)
+    cfg = BartConfig(m=6, max_depth=3)
+    pg = PgbartConfig(num_particles=4, batch=(0.5, 0.5),
+                      num_refinements=0)
+    rules = jnp.zeros(3, jnp.int32)
+    C = 2
+    state1 = pgbart.init_state(X, Y, cfg)
+    stateC = jax.tree.map(lambda a: jnp.broadcast_to(a, (C,) + a.shape),
+                          state1)
+    keysC = jax.random.split(jax.random.PRNGKey(17), C)
+    lc = 0.05 if lik == "het_abs" else 0.0
+    sa = sb = stateC
+    for t in range(6):
+        tun = t < 3
+        ks = jax.vmap(lambda k: jax.random.fold_in(k, t))(keysC)
+        sa, via = jax.vmap(lambda k, s: pgbart_step_fused(
+            k, s, X, Y, rules, cfg, pg, gw_mega, tun,
+            rng_mode="reference", lik=lik, lik_const=lc,
+            all_cont=True, x_nan=False))(ks, sa)
+        sb, vib = jax.vmap(lambda k, s, w: pgbart_step_bign(
+            k, s, X, Y, cfg, pg, jnp.zeros((1,)), tun,
+            rng_mode="reference", lik=lik, lik_const=lc, llw=w))(
+                ks, sb, (jnp.zeros((C, n)) if llw is None
+                         else jnp.broadcast_to(llw, (C, n))))
+        np.testing.assert_array_equal(np.asarray(sa.forest.split_var),
+                                      np.asarray(sb.forest.split_var))
+        np.testing.assert_array_equal(np.asarray(sa.forest.count),
+                                      np.asarray(sb.forest.count))
+        np.testing.assert_array_equal(np.asarray(via), np.asarray(vib))
+        np.testing.assert_allclose(np.asarray(sa.forest.leaf),
+                                   np.asarray(sb.forest.leaf),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(sa.sum_trees),
+                                   np.asarray(sb.sum_trees),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_bign_bernoulli_end_to_end():
+    """sample() engages the big-n kernel for a Bernoulli model (env-
+    forced on CPU interpret) and recovers the signal."""
+    import pymc_bart_tpu as pmb
+
+    rng = np.random.default_rng(6)
+    n = 400
+    X = rng.uniform(size=(n, 4)).astype(np.float32)
+    p_true = 1 / (1 + np.exp(-(6 * X[:, 0] - 3)))
+    Y = rng.binomial(1, p_true).astype(np.float32)
+    with pmb.Model():
+        lo = pmb.BART("lo", X, Y, m=10)
+        pmb.Bernoulli("y", p=pmb.math.sigmoid(lo), observed=Y)
+        idata = pmb.sample(tune=40, draws=40, chains=2, random_seed=0,
+                           num_particles=5, num_refinements=0,
+                           store_trees=False)
+    lo_hat = idata.posterior["lo"].values.mean(axis=(0, 1))
+    acc = float(((lo_hat > 0) == (Y > 0.5)).mean())
+    assert acc > 0.7, acc
+
+
 def test_bign_supported_reason_gates():
     X = jnp.zeros((50_000, 10), jnp.float32)
     cfg = BartConfig(m=20)
@@ -147,7 +226,8 @@ def test_bign_chain_split_fallback(monkeypatch):
             rng_mode="reference"))(keysC, stateC, w)
 
     batched, vi_b = run()
-    monkeypatch.setattr(bp, "_vmem_fits", lambda C_, P_, n_, p_: C_ <= 1)
+    monkeypatch.setattr(bp, "_vmem_fits",
+                        lambda C_, P_, n_, p_, **kw: C_ <= 1)
     split, vi_s = run()
     np.testing.assert_array_equal(np.asarray(batched.forest.split_var),
                                   np.asarray(split.forest.split_var))
