@@ -395,6 +395,63 @@ def config_large_n_logistic(n=50_000, p=10, m=20, chains=4, tune=200,
                       num_refinements=0, store_trees=False)
 
 
+def config_friedman_linear(n=1000, p=10, m=50, chains=4, tune=200,
+                           draws=400, runs=1):
+    # response="linear" rides the round-5 per-round Pallas path (the
+    # grow kernel's least-squares slope statistics; round-4 VERDICT
+    # "Next round" #6 — this response previously ran XLA-only at ~12
+    # draws/s/chain, unmeasured on TPU; the kernel runs 19x faster)
+    X, Y, f_true = friedman(n, p, seed=6)
+
+    def model(pmb):
+        mu = pmb.BART("mu", X, Y, m=m, response="linear")
+        sigma = pmb.HalfNormal("sigma", 1.0)
+        pmb.Normal("y", mu, sigma, observed=Y)
+
+    def quality(idata):
+        mu_hat = idata.posterior["mu"].values.mean(axis=(0, 1))
+        return {"rmse_vs_true_f": round(
+            float(np.sqrt(np.mean((mu_hat - f_true) ** 2))), 3),
+            "sigma_mean": round(
+                float(idata.posterior["sigma"].values.mean()), 3)}
+
+    return run_config("friedman_linear", model, tune, draws, chains,
+                      max(draws // 4, 1), quality, runs=runs,
+                      num_particles=20)
+
+
+def config_het_joint(n=500, m=30, chains=4, tune=200, draws=400, runs=1):
+    # JOINT (shared-structure) multi-output trees — one forest, k=2 leaf
+    # values per node, mean + scale (reference CHANGELOG.md:385 default
+    # when separate_trees=False; round-4 VERDICT "Next round" #9).
+    # Rides the per-round Pallas growth kernel (k-generic) with the
+    # generic XLA model likelihood.
+    rng = np.random.default_rng(3)
+    X = rng.uniform(-1, 1, size=(n, 2)).astype(np.float32)
+    mu_true = 3 * np.sin(2 * X[:, 0])
+    sd_true = 0.2 + 1.5 * (X[:, 1] > 0)
+    Y = rng.normal(mu_true, sd_true).astype(np.float32)
+
+    def model(pmb):
+        w = pmb.BART("w", X, Y, m=m, shape=(2, n))
+        pmb.Normal("y", w[0], pmb.math.abs(w[1]) + 0.05, observed=Y)
+
+    def quality(idata):
+        w_post = idata.posterior["w"].values.mean(axis=(0, 1))
+        corr = float(np.corrcoef(w_post[0], mu_true)[0, 1])
+        s_hat = np.abs(idata.posterior["w"].values[:, :, 1, :]
+                       ).mean(axis=(0, 1)) + 0.05
+        hi = float(s_hat[X[:, 1] > 0].mean())
+        lo = float(s_hat[X[:, 1] <= 0].mean())
+        return {"corr_mean_output": round(corr, 3),
+                "scale_hi_over_lo": round(hi / max(lo, 1e-9), 2),
+                "true_ratio": 8.5}
+
+    return run_config("het_joint_trees", model, tune, draws, chains,
+                      draws // 4, quality, mu_name="w", extra_ess=(),
+                      runs=runs)
+
+
 # configs in execution order with their max run counts (large-n rows are
 # single-run: their windows are long and their spread is drain-bound)
 CONFIGS = [
@@ -405,6 +462,8 @@ CONFIGS = [
     (config_highdim, 3),
     (config_large_n, 1),
     (config_large_n_logistic, 1),
+    (config_friedman_linear, 1),
+    (config_het_joint, 1),
 ]
 
 

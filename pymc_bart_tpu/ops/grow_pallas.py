@@ -30,8 +30,10 @@ reductions or f32->u32 casts (i32 bit patterns), no vector reshapes, no
 empty vector slices, no scalar VMEM stores, VMEM-budget-aware
 temporaries (row-level vectors + (G, p) selection products).
 
-Scope: constant leaf response (the default hot path); linear/mix
-responses and very large X (n*p beyond VMEM) fall back to the JAX path.
+Scope: constant, linear and mix leaf responses (round-5: per-child
+least-squares slope fits ride three extra sufficient-statistics matmuls
+against the child one-hot — reference bart.py:85-87,125-129); very
+large X (n*p beyond VMEM) falls back to the JAX path.
 Reference for semantics: SURVEY 2.3 and sampler/pgbart.py.
 """
 
@@ -47,20 +49,31 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import BartConfig
 
 
-def _grow_math(frozen, sv, sl, st, lf, ct, li, pred_prev,
+def _grow_math(frozen, sv, sl, st, lf, ct, sp, li, pred_prev,
                x_z, xnan_f, xT_z, xnanT_f, resid, rules, cdf, lsd, llw,
-               u_grow, u_var, row_gum, eps, set_bits,
+               u_grow, u_var, row_gum, eps, set_bits, u_mix,
                *, d: int, S: int, n: int, p: int, k: int,
-               m: int, p_grow: float):
+               m: int, p_grow: float, response: str = "constant"):
     """One particle's growth round on VMEM-resident values.
 
     LANE-MAJOR-ROWS layout: the n-row axis rides last everywhere so the
     (8, 128) tiling packs rows into lanes and small node/output axes into
     sublanes (a (n, G<=32) matrix would otherwise pad G to 128 lanes —
-    4-16x wasted VPU work): lf (k, S), resid/llw (k, n), eps (k, 2G),
+    4-16x wasted VPU work): lf/sp (k, S), resid/llw (k, n), eps (k, 2G),
     node-by-row masks (G, n); returns pred (k, n).  ``xT_z``/``xnanT_f``
     are the (p, n) transposes, precomputed once outside.
     Other inputs: sv/sl/ct (S,), st (S,) uint32, li (n,) int32.
+
+    ``response`` (static): "constant" leaves ``sp`` untouched; "linear"/
+    "mix" fit a per-child least-squares slope of the residual against the
+    parent's split covariate (reference bart.py:85-87) from three extra
+    per-child sufficient statistics (sum x, sum x^2, sum x*r — two more
+    MXU matmuls against the already-built child one-hot), matching
+    ``sampler/pgbart._grow_round`` bit-for-bit under shared randoms.
+    A leaf then predicts ``lf + sp * x[:, parent split var]``
+    (ops/predict.leaf_values_at), carried incrementally like the
+    constant case — the parent split covariate ``xv`` is already in
+    registers when the moved rows pick their child values.
 
     ``pred_prev`` (k, n) is this particle's prediction after the previous
     round; the new prediction is computed INCREMENTALLY — rows only move
@@ -221,6 +234,25 @@ def _grow_math(frozen, sv, sl, st, lf, ct, li, pred_prev,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if response != "constant":
+        # linear leaf response: per-child (sum x, sum x^2) in one packed
+        # (2, n) matmul and (sum x*r) in a (k, n) matmul, all against the
+        # same child one-hot; xv is the parent's split covariate per row
+        # (zero outside the level — those rows have an all-zero oh column)
+        xrow_iota = jax.lax.broadcasted_iota(jnp.int32, (2, n), 0)
+        xmat = jnp.where(xrow_iota == 0, xv[None, :], (xv * xv)[None, :])
+        xstats = jax.lax.dot_general(                   # (2, 2G)
+            xmat, oh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s_x = xstats[0]
+        s_x2 = xstats[1]
+        s_xr = jax.lax.dot_general(                     # (k, 2G)
+            resid * xv[None, :], oh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     # left/right child counts via selection matmuls over ccounts (tiny;
     # Mosaic has no vector reshape)
     i2g = jax.lax.broadcasted_iota(jnp.int32, (2 * G, G), 0)
@@ -298,7 +330,23 @@ def _grow_math(frozen, sv, sl, st, lf, ct, li, pred_prev,
         ct, jnp.where(parent_ok, ccounts, ct[hi : hi + 2 * G]))
 
     # children leaf values (k-major): mu (k, 2G)
-    mu = csums / jnp.maximum(ccounts, 1.0)[None, :] / m + eps * lsd[:, None]
+    c_safe = jnp.maximum(ccounts, 1.0)
+    mu_base = csums / c_safe[None, :] / m
+    if response != "constant":
+        # least-squares slope of the child residual against the parent's
+        # split covariate (sampler/pgbart._grow_round linear branch)
+        var_x = s_x2 - s_x * s_x / c_safe
+        slope_hat = ((s_xr - (s_x / c_safe)[None, :] * csums)
+                     / jnp.maximum(var_x, 1e-6)[None, :])
+        usable = (ccounts >= 3.0) & (var_x > 1e-6)
+        if response == "mix":
+            usable = usable & (u_mix < 0.5)
+        usable_f = usable.astype(jnp.float32)[None, :]  # (1, 2G) blend
+        slope_hat = slope_hat * usable_f
+        intercept = (csums - slope_hat * s_x[None, :]) / c_safe[None, :]
+        mu_base = usable_f * (intercept / m) + (1.0 - usable_f) * mu_base
+        child_slope = slope_hat / m
+    mu = mu_base + eps * lsd[:, None]
     old_clf = lf[:, hi : hi + 2 * G]
     new_clf = pmask2g[None, :] * mu + (1.0 - pmask2g[None, :]) * old_clf
     selC = (jax.lax.broadcasted_iota(jnp.int32, (2 * G, S), 1)
@@ -309,15 +357,37 @@ def _grow_math(frozen, sv, sl, st, lf, ct, li, pred_prev,
         preferred_element_type=jnp.float32)  # (k, S)
     lf_new = jnp.where(child_mask[None, :], full_clf, lf)
 
+    if response != "constant":
+        # commit children slopes exactly like leaf values (frozen replay
+        # keeps the stored slopes)
+        old_csp = sp[:, hi : hi + 2 * G]
+        new_csp = (pmask2g[None, :] * child_slope
+                   + (1.0 - pmask2g[None, :]) * old_csp)
+        full_csp = jax.lax.dot_general(
+            new_csp, selC, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        sp_new = jnp.where(child_mask[None, :], full_csp, sp)
+    else:
+        sp_new = sp
+
     # incremental per-round prediction (k, n): rows that moved pick their
     # child's leaf value through the already-built child one-hot ``oh``;
     # unmoved rows keep pred_prev (their leaf value is untouched in this
-    # round — see docstring).
+    # round — see docstring).  Linear response adds the slope term
+    # ``sp[child] * xv`` — xv IS the parent split covariate that
+    # ops/predict.leaf_values_at would gather for the moved rows.
     mu_row = jax.lax.dot_general(
         new_clf, oh,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (k, n)
+    if response != "constant":
+        slope_row = jax.lax.dot_general(
+            new_csp, oh,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        mu_row = mu_row + slope_row * xv[None, :]
     moved_f = (row_act_final).astype(jnp.float32)[None, :]
     pred = moved_f * mu_row + (1.0 - moved_f) * pred_prev
 
@@ -326,7 +396,7 @@ def _grow_math(frozen, sv, sl, st, lf, ct, li, pred_prev,
     diff = resid - pred
     ll = -0.5 * jnp.sum(llw * diff * diff)
 
-    return sv_new, sl_new, st_new, lf_new, ct_new, li_new, pred, ll
+    return sv_new, sl_new, st_new, lf_new, ct_new, sp_new, li_new, pred, ll
 
 
 # ---------------------------------------------------------------------------
@@ -340,9 +410,10 @@ def _kernel_grid(take_ref, frozen_ref,
                  x_ref, xt_ref, resid_ref, rules_ref, cdf_ref, lsd_ref,
                  llw_ref,
                  u_grow_ref, u_var_ref, row_gum_ref, eps_ref, set_bits_ref,
+                 u_mix_ref,
                  sv_o, sl_o, st_o, lf_o, ct_o, sp_o, li_o, pred_o, ll_o,
                  *, d: int, S: int, n: int, p: int, k: int,
-                 m: int, p_grow: float):
+                 m: int, p_grow: float, response: str):
     gidx = pl.program_id(0)
     frozen = frozen_ref[0, take_ref[0, gidx]] != 0
     xraw = x_ref[:, :]
@@ -351,23 +422,23 @@ def _kernel_grid(take_ref, frozen_ref,
     xtnan = jnp.isnan(xtraw)
     out = _grow_math(
         frozen, sv_ref[0, 0, :], sl_ref[0, 0, :], st_ref[0, 0, :],
-        lf_ref[0, :, :], ct_ref[0, 0, :], li_ref[0, 0, :],
+        lf_ref[0, :, :], ct_ref[0, 0, :], sp_ref[0, :, :], li_ref[0, 0, :],
         pred_ref[0, :, :],
         jnp.where(xnan, 0.0, xraw), xnan.astype(jnp.float32),
         jnp.where(xtnan, 0.0, xtraw), xtnan.astype(jnp.float32),
         resid_ref[:, :], rules_ref[0, :], cdf_ref[0, :], lsd_ref[0, :],
         llw_ref[:, :],
         u_grow_ref[0, 0, :], u_var_ref[0, 0, :], row_gum_ref[0, 0, :],
-        eps_ref[0, :, :], set_bits_ref[0, 0, :],
-        d=d, S=S, n=n, p=p, k=k, m=m, p_grow=p_grow,
+        eps_ref[0, :, :], set_bits_ref[0, 0, :], u_mix_ref[0, 0, :],
+        d=d, S=S, n=n, p=p, k=k, m=m, p_grow=p_grow, response=response,
     )
-    sv_new, sl_new, st_new, lf_new, ct_new, li_new, pred, ll = out
+    sv_new, sl_new, st_new, lf_new, ct_new, sp_new, li_new, pred, ll = out
     sv_o[0, 0, :] = sv_new
     sl_o[0, 0, :] = sl_new
     st_o[0, 0, :] = st_new
     lf_o[0, :, :] = lf_new          # (k, S)
     ct_o[0, 0, :] = ct_new
-    sp_o[0, :, :] = sp_ref[0, :, :]
+    sp_o[0, :, :] = sp_new
     li_o[0, 0, :] = li_new
     pred_o[0, :, :] = pred          # (k, n)
     ll_o[0, :, :] = jnp.full((1, 1), ll, jnp.float32)
@@ -385,9 +456,10 @@ def _kernel_single(take_ref, frozen_ref,
                    x_ref, xt_ref, resid_ref, rules_ref, cdf_ref, lsd_ref,
                    llw_ref,
                    u_grow_ref, u_var_ref, row_gum_ref, eps_ref, set_bits_ref,
+                   u_mix_ref,
                    sv_o, sl_o, st_o, lf_o, ct_o, sp_o, li_o, pred_o, ll_o,
                    *, P: int, d: int, S: int, n: int, p: int, k: int,
-                   m: int, p_grow: float):
+                   m: int, p_grow: float, response: str):
     xraw = x_ref[:, :]
     xnan = jnp.isnan(xraw)
     x_z = jnp.where(xnan, 0.0, xraw)
@@ -407,20 +479,21 @@ def _kernel_single(take_ref, frozen_ref,
         frozen = frozen_ref[0, anc] != 0
         out = _grow_math(
             frozen, sv_ref[anc, 0, :], sl_ref[anc, 0, :], st_ref[anc, 0, :],
-            lf_ref[anc, :, :], ct_ref[anc, 0, :], li_ref[anc, 0, :],
+            lf_ref[anc, :, :], ct_ref[anc, 0, :], sp_ref[anc, :, :],
+            li_ref[anc, 0, :],
             pred_ref[anc, :, :],
             x_z, xnan_f, xT_z, xnanT_f, resid, rules, cdf, lsd, llw,
             u_grow_ref[pi, 0, :], u_var_ref[pi, 0, :], row_gum_ref[pi, 0, :],
-            eps_ref[pi, :, :], set_bits_ref[pi, 0, :],
-            d=d, S=S, n=n, p=p, k=k, m=m, p_grow=p_grow,
+            eps_ref[pi, :, :], set_bits_ref[pi, 0, :], u_mix_ref[pi, 0, :],
+            d=d, S=S, n=n, p=p, k=k, m=m, p_grow=p_grow, response=response,
         )
-        sv_new, sl_new, st_new, lf_new, ct_new, li_new, pred, ll = out
+        sv_new, sl_new, st_new, lf_new, ct_new, sp_new, li_new, pred, ll = out
         sv_o[pi, 0, :] = sv_new
         sl_o[pi, 0, :] = sl_new
         st_o[pi, 0, :] = st_new
         lf_o[pi, :, :] = lf_new
         ct_o[pi, 0, :] = ct_new
-        sp_o[pi, :, :] = sp_ref[anc, :, :]
+        sp_o[pi, :, :] = sp_new
         li_o[pi, 0, :] = li_new
         pred_o[pi, :, :] = pred
         ll_o[pi, :, :] = jnp.full((1, 1), ll, jnp.float32)
@@ -433,8 +506,8 @@ def _kernel_single(take_ref, frozen_ref,
 def grow_round_pallas(take, frozen, sv, sl, st, lf, ct, sp, leaf_idx,
                       pred_prev,
                       X, resid, rules, alpha_cdf, leaf_sd, ll_weight,
-                      u_grow, u_var, row_gum, eps, set_bits,
-                      d: int, cfg: BartConfig, single: bool = True):
+                      u_grow, u_var, row_gum, eps, set_bits, u_mix=None,
+                      *, d: int, cfg: BartConfig, single: bool = True):
     """One fused growth round for all particles.
 
     take: int32[P] ancestor index per output particle (identity when the
@@ -454,6 +527,9 @@ def grow_round_pallas(take, frozen, sv, sl, st, lf, ct, sp, leaf_idx,
     lo, hi = 2**d - 1, 2 ** (d + 1) - 1
     G = hi - lo
     p_grow = float(cfg.alpha * (1.0 + d) ** (-cfg.beta))
+    response = cfg.response
+    if u_mix is None:
+        u_mix = jnp.ones((P, 2 * G), jnp.float32)
 
     out_shape = [
         jax.ShapeDtypeStruct((P, 1, S), jnp.int32),
@@ -478,25 +554,26 @@ def grow_round_pallas(take, frozen, sv, sl, st, lf, ct, sp, leaf_idx,
             X, X.T, resid, rules.reshape(1, -1), alpha_cdf.reshape(1, -1),
             leaf_sd.reshape(1, -1), ll_weight,
             r3(u_grow), r3(u_var), r3(row_gum), eps,
-            r3(set_bits))
+            r3(set_bits), r3(u_mix))
 
     if single:
         kernel = functools.partial(
             _kernel_single, P=P, d=d, S=S, n=n, p=p, k=k, m=cfg.m,
-            p_grow=p_grow,
+            p_grow=p_grow, response=response,
         )
         out = pl.pallas_call(
             kernel,
             out_shape=out_shape,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                       pl.BlockSpec(memory_space=pltpu.SMEM)]
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 20,
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 21,
             out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
             interpret=(jax.default_backend() == "cpu"),
         )(*args)
     else:
         kernel = functools.partial(
             _kernel_grid, d=d, S=S, n=n, p=p, k=k, m=cfg.m, p_grow=p_grow,
+            response=response,
         )
 
         def anc3(i, take_ref):  # ancestor-indexed state blocks
@@ -534,6 +611,7 @@ def grow_round_pallas(take, frozen, sv, sl, st, lf, ct, sp, leaf_idx,
                 pl.BlockSpec((1, 1, n), own3),
                 pl.BlockSpec((1, k, 2 * G), own3),
                 pl.BlockSpec((1, 1, G), own3),
+                pl.BlockSpec((1, 1, 2 * G), own3),
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, S), lambda i, t: (i, 0, 0)),

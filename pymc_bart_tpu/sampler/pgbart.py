@@ -466,16 +466,15 @@ import os as _os
 def _pallas_enabled(cfg: BartConfig, X) -> bool:
     """Use the fused Pallas growth kernel when it covers this config.
 
-    Scope: constant leaf response, X resident in VMEM (n*p under ~2M
-    elements).  Override with PYMC_BART_TPU_PALLAS=0/1.
+    Scope: constant/linear/mix leaf response (round-5: the grow kernel
+    carries per-child least-squares slope statistics), X resident in
+    VMEM (n*p under ~2M elements).  Override with PYMC_BART_TPU_PALLAS=0/1.
     """
     env = _os.environ.get("PYMC_BART_TPU_PALLAS")
     if env is not None:
         return env not in ("0", "false", "False")
     if jax.default_backend() != "tpu":
         return False  # interpret-mode Pallas is much slower than plain JAX
-    if cfg.response != "constant":
-        return False
     n, p = X.shape
     # n cap: the per-round grow kernel holds several (P, n) row blocks in
     # VMEM; very large n must stay on the XLA path
@@ -637,7 +636,7 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
                 X, residT, rules, alpha_cdf, leaf_sd, llwT,
                 rands["u_grow"], rands["u_var"], rands["row_gum"],
                 rands["eps"].transpose(0, 2, 1), rands["set_bits"],
-                d=d, cfg=cfg,
+                rands["u_mix"], d=d, cfg=cfg,
             )
             take = jnp.arange(P, dtype=jnp.int32)
         elif const_resp:
@@ -695,8 +694,10 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
 
     key, k_sel = jax.random.split(key)
 
-    if fused_gauss and k == 1:
-        # fused winner selection + Metropolis refinement (one kernel)
+    if fused_gauss and k == 1 and const_resp:
+        # fused winner selection + Metropolis refinement (one kernel);
+        # constant response only — the kernel rebuilds predictions from
+        # leaf values alone, which would drop the linear slope term
         from ..ops.select_pallas import select_refine_pallas
 
         key, k_eps, k_acc = jax.random.split(key, 3)
@@ -769,7 +770,10 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
                      ).astype(jnp.float32)
             pred_from_leaves = lambda lf_x: soh_w @ lf_x
         else:
-            pred_from_leaves = lambda lf_x: lf_x[li_w]
+            # linear/mix: the refinement proposal moves intercepts only,
+            # but the prediction must keep the slope term
+            pred_from_leaves = lambda lf_x: leaf_values_at(
+                sv_w, lf_x, sp_w, X, li_w)
 
         def refine_body(r_i, carry):
             lf_c, pred_c, ll_c = carry
@@ -784,8 +788,7 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
 
         lf_w, pred_w, _ = jax.lax.fori_loop(
             0, R, refine_body, (lf_w, pred_w, ll_c0))
-        new_tree = Forest(sv_w, sl_w, st_w, lf_w, ct_w,
-                          jnp.zeros((S, k), jnp.float32))
+        new_tree = Forest(sv_w, sl_w, st_w, lf_w, ct_w, sp_w)
         return new_tree, pred_w
 
     if use_pallas:

@@ -11,12 +11,21 @@ from pymc_bart_tpu.ops.grow_pallas import grow_round_pallas
 from pymc_bart_tpu.sampler.pgbart import _grow_round
 
 
-@pytest.mark.parametrize("d", [0, 1, 3])
-@pytest.mark.parametrize("k", [1, 2])
-def test_pallas_grow_matches_jax(d, k):
+@pytest.mark.parametrize("d, k, response", [
+    # d x k x response core grid, plus k=8 (joint multi-output
+    # coverage up to 8 outputs, round-4 VERDICT "Next round" #9)
+    (0, 1, "constant"), (1, 1, "constant"), (3, 1, "constant"),
+    (0, 2, "constant"), (1, 2, "constant"), (3, 2, "constant"),
+    (0, 1, "linear"), (1, 1, "linear"), (3, 1, "linear"),
+    (0, 2, "linear"), (1, 2, "linear"), (3, 2, "linear"),
+    (0, 1, "mix"), (1, 1, "mix"), (3, 1, "mix"),
+    (0, 2, "mix"), (1, 2, "mix"), (3, 2, "mix"),
+    (1, 8, "constant"), (3, 8, "constant"), (3, 8, "linear"),
+])
+def test_pallas_grow_matches_jax(d, k, response):
     rng = np.random.default_rng(d * 10 + k)
     P, n, p = 4, 64, 3
-    cfg = BartConfig(m=5, max_depth=4, n_outputs=k)
+    cfg = BartConfig(m=5, max_depth=4, n_outputs=k, response=response)
     S = cfg.n_nodes
     lo, hi = 2**d - 1, 2 ** (d + 1) - 1
     G = hi - lo
@@ -33,7 +42,11 @@ def test_pallas_grow_matches_jax(d, k):
     st = np.zeros((P, S), np.uint32)
     lf = rng.normal(size=(P, S, k)).astype(np.float32)
     ct = np.zeros((P, S), np.float32)
-    sp = np.zeros((P, S, k), np.float32)
+    # nonzero stored slopes exercise the frozen-replay slope passthrough
+    # and the slope term of the incremental prediction (zeros for the
+    # constant response, whose slope state must stay identically zero)
+    sp = (0.1 * rng.normal(size=(P, S, k)).astype(np.float32)
+          if response != "constant" else np.zeros((P, S, k), np.float32))
     li = np.zeros((P, n), np.int32)
     for pi in range(P):
         ct[pi, 0] = n
@@ -80,17 +93,20 @@ def test_pallas_grow_matches_jax(d, k):
 
     llw = jnp.ones((k, n), jnp.float32)  # also exercise the fused ll
     sv_a, sl_a, st_a, lf_a, ct_a, sp_a, li_a = args
-    # each particle's current prediction: leaf value at its row's node
-    pred_prev = jnp.asarray(
-        np.stack([np.asarray(lf)[pi][li[pi]] for pi in range(P)]),
-        jnp.float32).transpose(0, 2, 1)  # (P, k, n)
+    # each particle's current prediction: full leaf response at its
+    # row's node (includes the slope term for linear/mix)
+    from pymc_bart_tpu.ops.predict import leaf_values_at
+
+    pred_prev = jax.vmap(
+        lambda svp, lfp, spp, lip: leaf_values_at(svp, lfp, spp, X, lip)
+    )(sv_a, lf_a, sp_a, li_a).transpose(0, 2, 1)  # (P, k, n)
     pl_out = grow_round_pallas(
         take, frozen, sv_a, sl_a, st_a, lf_a.transpose(0, 2, 1), ct_a,
         sp_a.transpose(0, 2, 1), li_a, pred_prev,
         X, resid.T, rules, alpha_cdf, leaf_sd, llw,
         rands["u_grow"], rands["u_var"], rands["row_gum"],
         rands["eps"].transpose(0, 2, 1),
-        rands["set_bits"], d=d, cfg=cfg,
+        rands["set_bits"], rands["u_mix"], d=d, cfg=cfg,
     )
     # back to sampler layout for comparison
     pl_out = list(pl_out)
@@ -172,3 +188,59 @@ def test_pallas_ancestor_take():
     np.testing.assert_array_equal(lf_out[1], np.asarray(lf)[2])
     np.testing.assert_array_equal(lf_out[2], np.asarray(lf)[2])
     np.testing.assert_array_equal(lf_out[0], np.asarray(lf)[0])
+
+
+@pytest.mark.parametrize("response", ["linear", "mix"])
+def test_pallas_path_matches_xla_path_linear(response, monkeypatch):
+    """Full pgbart_step: per-round Pallas route (interpret) vs pure XLA
+    for the linear/mix responses.  Both consume the same pre-drawn
+    randoms; the kernel's constant-free Gaussian ll differs from the
+    generic loglik by an additive constant, which cancels in every
+    weight use — tree structure must agree exactly."""
+    from pymc_bart_tpu.config import PgbartConfig
+    from pymc_bart_tpu.sampler import pgbart as pg_mod
+
+    rng = np.random.default_rng(5)
+    n, p, m = 48, 3, 6
+    X = jnp.asarray(rng.uniform(size=(n, p)), jnp.float32)
+    Y = jnp.asarray(
+        2.0 * np.asarray(X[:, 0]) + 0.1 * rng.normal(size=n),
+        jnp.float32)[:, None]
+    cfg = BartConfig(m=m, max_depth=3, response=response)
+    pg = PgbartConfig(num_particles=4, batch=(0.5, 0.5), num_refinements=2)
+    rules = jnp.zeros(p, jnp.int32)
+    gauss_w = jnp.full((n, 1), 4.0, jnp.float32)
+    state = pg_mod.init_state(X, Y, cfg)
+    key = jax.random.PRNGKey(11)
+
+    def loglik(f, params):
+        y, w = params
+        return jnp.sum(-0.5 * w * (y - f) ** 2)
+
+    monkeypatch.setenv("PYMC_BART_TPU_PALLAS", "0")
+    want, want_vi = pg_mod.pgbart_step(
+        key, state, X, Y, rules, cfg, pg, loglik, (Y, gauss_w),
+        tuning=False, gauss_w=gauss_w)
+
+    monkeypatch.setenv("PYMC_BART_TPU_PALLAS", "1")
+    got, got_vi = pg_mod.pgbart_step(
+        key, state, X, Y, rules, cfg, pg, loglik, (Y, gauss_w),
+        tuning=False, gauss_w=gauss_w)
+
+    np.testing.assert_array_equal(np.asarray(want.forest.split_var),
+                                  np.asarray(got.forest.split_var))
+    np.testing.assert_array_equal(np.asarray(want_vi), np.asarray(got_vi))
+    np.testing.assert_allclose(np.asarray(want.forest.split_val),
+                               np.asarray(got.forest.split_val),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(want.forest.leaf),
+                               np.asarray(got.forest.leaf),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(want.forest.slope),
+                               np.asarray(got.forest.slope),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(want.forest.count),
+                                  np.asarray(got.forest.count))
+    np.testing.assert_allclose(np.asarray(want.sum_trees),
+                               np.asarray(got.sum_trees),
+                               rtol=1e-4, atol=1e-4)
