@@ -147,3 +147,117 @@ def test_pgbart_step_row_sharded(mesh):
     rmse1 = float(np.sqrt(np.mean(
         (np.asarray(out.sum_trees)[:, 0] - Y_np) ** 2)))
     assert rmse1 < 0.7 * rmse0, (rmse1, rmse0)
+
+
+def test_pgbart_step_row_sharded_suffstats_matches_rowspace(mesh):
+    """The sufficient-statistics sharded path (w_scalar=True — node-space
+    Gaussian likelihood from psum'd (N, R, Q), the big-n kernel's
+    formulation; round-4 VERDICT #8) consumes the same RNG stream as the
+    row-space sharded path and must produce the same trees: the two
+    likelihood formulations are algebraically equal, so every SMC
+    decision agrees (checked over 25 full steps on the 8-device mesh)."""
+    rng = np.random.default_rng(7)
+    n, p = 192, 3
+    X_np = rng.uniform(size=(n, p)).astype(np.float32)
+    f_np = np.where(X_np[:, 0] > 0.5, 1.5, -1.5)
+    Y_np = (f_np + 0.4 * rng.normal(size=n)).astype(np.float32)
+    X = jnp.asarray(X_np)
+    Yt = jnp.asarray(Y_np)[:, None]
+    cfg = BartConfig(m=6, max_depth=4)
+    pg = PgbartConfig(num_particles=6, batch=(0.5, 0.5),
+                      num_refinements=2)
+    rules = jnp.zeros(p, jnp.int32)
+    gauss_w = jnp.full((n, 1), 1.0 / 0.4**2, jnp.float32)
+
+    state = pgbart.init_state(X, Yt, cfg)
+
+    def loglik(f, params):  # unused on the sharded-Gaussian paths
+        (y,) = params
+        return jnp.sum(-0.5 * (y - f) ** 2)
+
+    def run(w_scalar):
+        def steps(key, st0, X_s, Yt_s, gw_s):
+            def body(st, k):
+                st, vi = pgbart.pgbart_step(
+                    k, st, X_s, Yt_s, rules, cfg, pg, loglik, (Yt_s,),
+                    False, gauss_w=gw_s, data_axis="data",
+                    w_scalar=w_scalar)
+                return st, vi
+
+            return jax.lax.scan(body, st0, jax.random.split(key, 25))[0]
+
+        row = P("data")
+        state_specs = pgbart.PgbartState(
+            forest=jax.tree.map(lambda _: P(), state.forest),
+            tree_pred=P(None, "data"), sum_trees=row, alpha_vec=P(),
+            leaf_sd=P(), wf_count=P(), wf_mean=row, wf_m2=row,
+            batch_offset=P(), iteration=P())
+        return jax.jit(jax.shard_map(
+            steps, mesh=mesh,
+            in_specs=(P(), state_specs, row, row, row),
+            out_specs=state_specs, check_vma=False,
+        ))(jax.random.PRNGKey(3), state, X, Yt, gauss_w)
+
+    a = run(False)
+    b = run(True)
+    np.testing.assert_array_equal(np.asarray(a.forest.split_var),
+                                  np.asarray(b.forest.split_var))
+    np.testing.assert_allclose(np.asarray(a.forest.split_val),
+                               np.asarray(b.forest.split_val),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.forest.leaf),
+                               np.asarray(b.forest.leaf),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(a.sum_trees),
+                               np.asarray(b.sum_trees),
+                               rtol=2e-4, atol=2e-4)
+    # and the fit is real
+    rmse0 = float(np.sqrt(np.mean((Y_np - Y_np.mean()) ** 2)))
+    rmse1 = float(np.sqrt(np.mean(
+        (np.asarray(b.sum_trees)[:, 0] - Y_np) ** 2)))
+    assert rmse1 < 0.7 * rmse0, (rmse1, rmse0)
+
+
+def test_suffstats_unsharded_matches_rowspace(monkeypatch):
+    """PYMC_BART_TPU_SUFFSTATS=1 forces the node-space Gaussian path
+    UNsharded (how its per-shard cost is measured on one real chip);
+    it must reproduce the ordinary XLA path's trees exactly."""
+    monkeypatch.delenv("PYMC_BART_TPU_SUFFSTATS", raising=False)
+    rng = np.random.default_rng(11)
+    n, p = 160, 3
+    X = jnp.asarray(rng.uniform(size=(n, p)), jnp.float32)
+    Y_np = np.where(np.asarray(X[:, 1]) > 0.5, 1.0, -1.0) \
+        + 0.3 * rng.normal(size=n)
+    Yt = jnp.asarray(Y_np, jnp.float32)[:, None]
+    cfg = BartConfig(m=5, max_depth=4)
+    pg = PgbartConfig(num_particles=5, batch=(0.4, 0.4),
+                      num_refinements=3)
+    rules = jnp.zeros(p, jnp.int32)
+    gauss_w = jnp.ones((n, 1), jnp.float32)
+
+    def loglik(f, params):
+        (y,) = params
+        return jnp.sum(-0.5 * (y - f) ** 2)
+
+    def run():
+        st = pgbart.init_state(X, Yt, cfg)
+        key = jax.random.PRNGKey(5)
+        for k in jax.random.split(key, 15):
+            st, _ = pgbart.pgbart_step(
+                k, st, X, Yt, rules, cfg, pg, loglik, (Yt,), False,
+                gauss_w=gauss_w, w_scalar=True)
+        return st
+
+    base = run()
+    pgbart.pgbart_step.clear_cache()
+    monkeypatch.setenv("PYMC_BART_TPU_SUFFSTATS", "1")
+    suff = run()
+    pgbart.pgbart_step.clear_cache()
+    np.testing.assert_array_equal(np.asarray(base.forest.split_var),
+                                  np.asarray(suff.forest.split_var))
+    np.testing.assert_allclose(np.asarray(base.forest.leaf),
+                               np.asarray(suff.forest.leaf),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(base.sum_trees),
+                               np.asarray(suff.sum_trees),
+                               rtol=2e-4, atol=2e-4)
