@@ -279,8 +279,11 @@ def config_logistic(n=1000, p=10, m=50, chains=4, tune=200, draws=400,
                       num_particles=20)
 
 
-def config_heteroscedastic(n=500, m=30, chains=4, tune=200, draws=400,
+def config_heteroscedastic(n=500, m=30, chains=4, tune=400, draws=400,
                            runs=3):
+    # tune=400 + ancestor_sampling: the round-5 het study (BENCH_NOTES)
+    # — with the link-aware scale growth target these move
+    # scale_hi_over_lo 4.3 -> 7.0 at ~2% time cost on this small row
     rng = np.random.default_rng(3)
     X = rng.uniform(-1, 1, size=(n, 2)).astype(np.float32)
     mu_true = 3 * np.sin(2 * X[:, 0])
@@ -309,7 +312,7 @@ def config_heteroscedastic(n=500, m=30, chains=4, tune=200, draws=400,
 
     return run_config("heteroscedastic", model, tune, draws, chains,
                       draws // 4, quality, mu_name="w", extra_ess=(),
-                      runs=runs)
+                      runs=runs, ancestor_sampling=True)
 
 
 def config_highdim(n=200, p=1000, m=50, chains=4, tune=200, draws=400,

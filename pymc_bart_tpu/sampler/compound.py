@@ -641,14 +641,29 @@ def sample(
         if brv.config.separate_trees and k > 1:
             cfg1 = _dc.replace(brv.config, n_outputs=1, separate_trees=False)
             for j in range(k):
+                fz = _fused_likelihood(model, brv, out=j)
+                Yt_j = Yt[:, j:j + 1]
+                if (fz is not None and obs_y is not None
+                        and fz["kind"] in ("het_abs", "het_exp")):
+                    # link-aware INITIAL growth target for a scale
+                    # forest (the per-step dynamic target lives in
+                    # one_step): per-row scale evidence around the
+                    # global mean, not the broadcast Y
+                    y_np = np.asarray(obs_y, np.float64).reshape(-1)
+                    s0 = np.abs(y_np - y_np.mean()) / 0.7978845608
+                    if fz["kind"] == "het_abs":
+                        t0 = s0 - float(fz.get("const", 0.0))
+                    else:
+                        t0 = np.log(np.maximum(s0, 1e-3))
+                    Yt_j = jnp.asarray(t0[:, None], jnp.float32)
                 bart_static.append(
                     dict(name=brv.name, out=j, k_group=k, X=X, X_raw=X_raw,
-                         Yt=Yt[:, j:j + 1], rules=rules, cfg=cfg1,
+                         Yt=Yt_j, rules=rules, cfg=cfg1,
                          pg=pg_cfgs[brv.name],
                          loglik=_make_loglik_output(compiled, brv.name, j),
                          split_prior=brv.split_prior, obs_y=obs_y,
                          all_cont=all_cont, x_nan=x_nan,
-                         fused=_fused_likelihood(model, brv, out=j))
+                         fused=fz)
                 )
         else:
             bart_static.append(
@@ -806,6 +821,7 @@ def sample(
             lik = "gauss"
             lik_const = 0.0
             w_scalar = False
+            Yt_i = sd["Yt"][i]
             fused = bs["fused"]
             n_i = sd["X"][i].shape[0]  # local rows when sharded
             k_i = bs["cfg"].n_outputs
@@ -831,6 +847,22 @@ def sample(
                     mu0 = jnp.asarray(evaluate(fused["mu_expr"], env),
                                       jnp.float32).reshape(-1)
                     gauss_w = ((sd["obs_y"][i] - mu0) ** 2).reshape(n_i, 1)
+                    # link-aware DYNAMIC growth target (round-5): leaf
+                    # proposals center on local means of the target, and
+                    # the broadcast-Y default centers a SCALE forest on
+                    # residuals of Y — nowhere near the scale posterior,
+                    # so the exact-likelihood weights must fight the
+                    # proposals (measured: scale output min ESS 4.5 vs
+                    # 15.1 for the mean output, ratio bias; round-4
+                    # VERDICT weak #6).  Per-row scale evidence instead:
+                    # sigma_hat = |y - mu0| / E|N(0,1)|, targeting
+                    # |w1| + c  (het_abs)  or  exp(w1)  (het_exp).
+                    s_hat = (jnp.abs(sd["obs_y"][i] - mu0)
+                             / 0.7978845608).reshape(n_i, 1)
+                    if lik == "het_abs":
+                        Yt_i = s_hat - lik_const
+                    else:
+                        Yt_i = jnp.log(jnp.maximum(s_hat, 1e-3))
                 elif lik == "cat_logit":
                     # class-forest update: row data = logsumexp of the
                     # OTHER class outputs' current values
@@ -843,7 +875,7 @@ def sample(
                     gauss_w = _lse(others, axis=1).reshape(n_i, 1)
                 # bernoulli: labels ride Yt; no row data needed
             new_state, vi = pgbart.pgbart_step(
-                keys[i], bart_states[i], sd["X"][i], sd["Yt"][i],
+                keys[i], bart_states[i], sd["X"][i], Yt_i,
                 bs["rules"], bs["cfg"], bs["pg"], bs["loglik"], lik_params,
                 tuning, gauss_w=gauss_w, lik=lik, lik_const=lik_const,
                 data_axis=data_axis, all_cont=bs["all_cont"],
