@@ -718,9 +718,14 @@ def sample(
                 f"[{bs['out']}]" if bs["out"] is not None else "")
             # the row-tiled big-n kernel may still cover it (scalar-sigma
             # Gaussian models): then this is informational, not a slowdown
+            # C_hint=1: the bign chains wrapper splits chain counts that
+            # exceed VMEM into sequential single-chain kernel calls, so
+            # coverage is decided by a SINGLE chain fitting (probing with
+            # C_hint=chains fired a false fallback warning on the 4-chain
+            # large-n bench row while the kernel was in fact engaged)
             bign_reason = bign_supported_reason(
                 bs["cfg"], bs["pg"], bs["X"], kind, _sigma_is_scalar(bs),
-                bs["all_cont"], bs["x_nan"], C_hint=chains)
+                bs["all_cont"], bs["x_nan"], C_hint=1)
             if bign_reason is None:
                 continue  # the big-n kernel covers it: no slowdown
             verb = "falls back" if on_tpu else "would fall back on TPU"

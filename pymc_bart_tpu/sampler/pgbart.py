@@ -643,12 +643,18 @@ def _update_one_tree(key, tree: Forest, sum_noi, resid, alpha_vec, leaf_sd,
     # stats via psum and all node-space algebra stays replicated.
     # PYMC_BART_TPU_SUFFSTATS=1 also enables it UNsharded so its
     # per-shard cost is measurable on one real chip; =0 forces it off.
+    # Unsharded it engages by itself at n >= _SEG_MATMUL_N — the shapes
+    # that reach this XLA path at such n are exactly the ones the bign
+    # kernel does not cover (p > 512, n beyond the li scratch, kernels
+    # disabled), where node-space algebra is strictly cheaper; below
+    # the gate the row-space path keeps its exact bit semantics.
     _suff_env = _os.environ.get("PYMC_BART_TPU_SUFFSTATS")
     suff_gauss = (gauss_w is not None and w_scalar and lik == "gauss"
                   and cfg.response == "constant" and k == 1
                   and not use_pallas
                   and _suff_env not in ("0", "false", "False")
-                  and (data_axis is not None or _suff_env == "1"))
+                  and (data_axis is not None or _suff_env == "1"
+                       or n >= _SEG_MATMUL_N))
 
     def eval_ll(pred_all):
         if fused_other:
