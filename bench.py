@@ -385,10 +385,14 @@ def config_large_n(n=50_000, p=10, m=20, chains=4, tune=200, draws=600,
         return {"rmse_vs_true_f": round(
             float(np.sqrt(np.mean((mu_hat - f_true) ** 2))), 3)}
 
+    # ancestor_sampling: at this shape the rejuvenation pass hides
+    # entirely under the posterior drain (measured 170 vs 171 s for the
+    # whole window) while cutting rmse 0.70 -> 0.42 and the sigma bias
+    # 1.45 -> 1.27 (BENCH_NOTES round-5)
     return run_config("large_n_50k", model, tune, draws, chains,
                       max(draws // 4, 1), quality, runs=runs,
                       num_particles=10, num_refinements=0,
-                      store_trees=False)
+                      store_trees=False, ancestor_sampling=True)
 
 
 def config_large_n_logistic(n=50_000, p=10, m=20, chains=4, tune=200,
@@ -417,7 +421,8 @@ def config_large_n_logistic(n=50_000, p=10, m=20, chains=4, tune=200,
     return run_config("large_n_logistic_50k", model, tune, draws, chains,
                       max(draws // 4, 1), quality, mu_name="lo",
                       extra_ess=(), runs=runs, num_particles=10,
-                      num_refinements=0, store_trees=False)
+                      num_refinements=0, store_trees=False,
+                      ancestor_sampling=True)
 
 
 def config_friedman_linear(n=1000, p=10, m=50, chains=4, tune=200,
