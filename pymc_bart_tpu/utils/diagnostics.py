@@ -102,6 +102,53 @@ def _ess_mean(z: np.ndarray) -> float:
     return float(c * d / tau)
 
 
+def check_convergence(idata: InferenceData, rhat_threshold: float = 1.1,
+                      max_slices: int = 64) -> Dict[str, float]:
+    """Max split-R-hat per posterior variable (subsampled slices).
+
+    For vector/array variables (e.g. per-row ``mu`` at n=50k) the check
+    looks at ``max_slices`` evenly spaced scalar slices rather than every
+    element — enough to flag non-convergence without an O(n) rank-sort
+    pass after every ``sample()``.  Returns ``{var: max_rhat_checked}``;
+    entries above ``rhat_threshold`` indicate chains that have not mixed
+    (PyMC surfaces the same statistic through arviz after sampling —
+    reference relies on ``pm.sample``'s convergence checks).
+    """
+    out: Dict[str, float] = {}
+    for name in idata.posterior.keys():
+        v = np.asarray(idata.posterior[name].values, np.float64)
+        if v.ndim < 2 or v.shape[0] < 2 or v.shape[1] < 4:
+            continue  # need >=2 chains and a few draws for split-R-hat
+        flat = v.reshape(v.shape[0], v.shape[1], -1)
+        k = flat.shape[2]
+        idx = (np.linspace(0, k - 1, min(k, max_slices)).round().astype(int)
+               if k > max_slices else np.arange(k))
+        out[name] = float(np.max(rhat(flat[:, :, idx])))
+    return out
+
+
+def maybe_warn_convergence(idata: InferenceData,
+                           rhat_threshold: float = 1.1) -> Dict[str, float]:
+    """Warn (``UserWarning``) when any posterior variable's checked
+    split-R-hat exceeds ``rhat_threshold``; returns the per-variable
+    maxima either way."""
+    import warnings
+
+    rhats = check_convergence(idata, rhat_threshold=rhat_threshold)
+    bad = {k: v for k, v in rhats.items() if v > rhat_threshold}
+    if bad:
+        worst = max(bad, key=bad.get)
+        warnings.warn(
+            f"split-R-hat exceeds {rhat_threshold:g} for "
+            f"{sorted(bad)} (worst: {worst} = {bad[worst]:.2f}); chains "
+            "have not converged for these quantities.  Consider more "
+            "tune/draws, or ancestor_sampling=True for per-row BART "
+            "functionals (PG path degeneracy).",
+            UserWarning, stacklevel=3,
+        )
+    return rhats
+
+
 def summary(idata: InferenceData, var_names=None) -> Dict[str, Dict[str, float]]:
     """Per-variable posterior mean/sd/R-hat/ESS table (dict of dicts)."""
     out: Dict[str, Dict[str, float]] = {}
