@@ -47,6 +47,7 @@ from .models.predictive import (
 )
 from .sampler import PGBART, sample
 from .utils import (
+    check_convergence,
     compute_variable_importance,
     export_variable_inclusion,
     ess_bulk,
@@ -75,6 +76,7 @@ __all__ = [
     "sample_posterior_predictive",
     "sample_prior_predictive",
     "vi_to_kulprit",
+    "check_convergence",
     "ess_bulk",
     "rhat",
     "summary",

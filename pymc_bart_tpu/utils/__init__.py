@@ -1,5 +1,6 @@
 from .codec import _decode_vi, _encode_vi, decode_vi, encode_vi
-from .diagnostics import ess_bulk, rhat, summary
+from .diagnostics import (check_convergence, ess_bulk,
+                          maybe_warn_convergence, rhat, summary)
 from .importance import (
     compute_variable_importance,
     export_variable_inclusion,
@@ -20,7 +21,9 @@ __all__ = [
     "encode_vi",
     "_decode_vi",
     "_encode_vi",
+    "check_convergence",
     "ess_bulk",
+    "maybe_warn_convergence",
     "export_variable_inclusion",
     "rhat",
     "summary",
